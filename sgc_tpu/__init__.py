@@ -1,0 +1,24 @@
+"""sgc_tpu — a TPU-native graph message-passing framework.
+
+A from-scratch JAX / XLA / Pallas re-design of the SGC ("Simplifying Graph
+Convolutional Networks") model family and its biomedical TextSGC extensions
+(reference: bellaj09/SGC). The expensive graph work — K repeated SpMM hops
+with the augmented-normalized adjacency — is expressed as jitted XLA programs
+and Pallas TPU kernels over HBM-resident sorted-COO/CSR edge lists; training
+is full-batch logistic regression on the propagated features.
+
+Layering (bottom-up):
+  graph/     sparse containers (sorted-COO / CSR pytrees), normalization
+  ops/       SpMM / SDDMM kernels, K-hop propagation, feature scaling
+  parallel/  device mesh, edge partitioning, halo exchange over ICI
+  models/    SGC linear head, GCN, model registry
+  train/     optimizers (Adam, LBFGS), training loops, metrics
+  data/      Planetoid / Reddit / text-corpus loaders, cross-validation
+  textgraph/ corpus cleaning and PMI/TF-IDF doc-word graph builders
+  tune/      TPE hyperparameter search over frozen propagated features
+"""
+
+__version__ = "0.1.0"
+
+from sgc_tpu.graph.sparse import SparseGraph  # noqa: F401
+from sgc_tpu.ops.propagate import sgc_precompute  # noqa: F401

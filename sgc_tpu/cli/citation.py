@@ -1,0 +1,102 @@
+"""Citation-network SGC/GCN training CLI.
+
+Usage parity with the reference entry point (citation.py / README.md:73-78):
+
+    python -m sgc_tpu.cli.citation --dataset cora --tuned
+    python -m sgc_tpu.cli.citation --dataset citeseer --tuned --epochs 150
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from sgc_tpu.data.planetoid import load_citation
+from sgc_tpu.models.registry import get_model
+from sgc_tpu.models.sgc import sgc_apply
+from sgc_tpu.ops.propagate import sgc_precompute
+from sgc_tpu.train.loops import train_regression
+from sgc_tpu.train.metrics import accuracy
+from sgc_tpu.utils.config import CitationConfig
+from sgc_tpu.utils.seeding import set_seed
+
+
+def run(cfg: CitationConfig, data_path: str | None = None) -> dict:
+    cfg = cfg.resolve()
+    key = set_seed(cfg.seed)
+    data = load_citation(cfg.dataset, cfg.normalization, data_path)
+
+    init_fn, _ = get_model(cfg.model)
+    if cfg.model != "SGC":
+        raise NotImplementedError("citation CLI currently trains SGC only")
+    params = init_fn(key, data.features.shape[1], data.n_classes)
+
+    features, precompute_time = sgc_precompute(data.features, data.graph, cfg.degree)
+
+    train_x = features[data.idx_train]
+    train_y = data.labels[data.idx_train]
+    params, train_time = train_regression(
+        params, train_x, train_y, cfg.epochs, cfg.weight_decay, cfg.lr
+    )
+
+    acc_val = accuracy(sgc_apply(params, features[data.idx_val]), data.labels[data.idx_val])
+    acc_test = accuracy(
+        sgc_apply(params, features[data.idx_test]), data.labels[data.idx_test]
+    )
+    return {
+        "val_accuracy": acc_val,
+        "test_accuracy": acc_test,
+        "precompute_time": precompute_time,
+        "train_time": train_time,
+        "total_time": precompute_time + train_time,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset", default="cora")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--lr", type=float, default=0.2)
+    parser.add_argument("--weight_decay", type=float, default=5e-6)
+    parser.add_argument("--hidden", type=int, default=0)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--model", default="SGC", choices=["SGC", "GCN"])
+    parser.add_argument("--normalization", default="AugNormAdj")
+    parser.add_argument("--degree", type=int, default=2)
+    parser.add_argument("--tuned", action="store_true")
+    parser.add_argument("--data_path", default=None)
+    args = parser.parse_args()
+
+    cfg = CitationConfig(
+        dataset=args.dataset,
+        seed=args.seed,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        hidden=args.hidden,
+        dropout=args.dropout,
+        model=args.model,
+        normalization=args.normalization,
+        degree=args.degree,
+        tuned=args.tuned,
+    )
+    if cfg.tuned:
+        cfg.resolve()
+        print(f"using tuned weight decay: {cfg.weight_decay}")
+    res = run(cfg, args.data_path)
+    print(
+        "Validation Accuracy: {:.4f} Test Accuracy: {:.4f}".format(
+            res["val_accuracy"], res["test_accuracy"]
+        )
+    )
+    print(
+        "Pre-compute time: {:.4f}s, train time: {:.4f}s, total: {:.4f}s".format(
+            res["precompute_time"], res["train_time"], res["total_time"]
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

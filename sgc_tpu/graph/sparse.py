@@ -1,0 +1,158 @@
+"""Sparse graph containers for TPU compute.
+
+The canonical on-device representation is a row-sorted COO edge list
+(``rows``, ``cols``, ``vals``) padded to a TPU-friendly edge count, carried
+as a JAX pytree so it can flow through ``jit`` / ``shard_map`` unchanged.
+A CSR ``row_ptr`` is carried alongside for kernels that want row segments.
+
+This replaces the reference's borrowed scipy/torch sparse machinery
+(reference: utils.py:23-30 ``sparse_mx_to_torch_sparse_tensor``,
+normalization.py host-side scipy algebra); here the container is a first-
+class framework type with explicit padding semantics (padded edges have
+``val == 0`` and ``row/col`` clamped in-range so every kernel — XLA
+segment-sum, Pallas, and the partitioned halo path — treats them as no-ops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Default edge-count granularity. Keeping the edge dimension a multiple of
+# the 8x128 VPU tile (1024) keeps Pallas block shapes aligned and lets XLA
+# tile gathers/segment-sums without remainder handling.
+EDGE_PAD_MULTIPLE = 1024
+
+
+def pad_edges_to(n: int, multiple: int = EDGE_PAD_MULTIPLE) -> int:
+    """Round ``n`` up to a multiple of ``multiple`` (minimum one tile)."""
+    if n <= 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("rows", "cols", "vals", "row_ptr"),
+    meta_fields=("n_rows", "n_cols", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class SparseGraph:
+    """Row-sorted COO sparse matrix with CSR row pointers, as a pytree.
+
+    Attributes:
+      rows:    int32[E_pad] — row index per edge, non-decreasing.
+      cols:    int32[E_pad] — column index per edge.
+      vals:    float32[E_pad] — edge weight; exactly 0 for padding edges.
+      row_ptr: int32[n_rows + 1] — CSR offsets into the *unpadded* edges.
+      n_rows, n_cols: static matrix shape.
+      nnz:     static true (unpadded) edge count; padding lives in
+               ``[nnz, E_pad)``.
+    """
+
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    row_ptr: jnp.ndarray
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+    @property
+    def n_edges_padded(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    # ---------------------------------------------------------------- build
+
+    @staticmethod
+    def from_coo(
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        n_rows: int,
+        n_cols: int,
+        pad_multiple: int = EDGE_PAD_MULTIPLE,
+    ) -> "SparseGraph":
+        """Build from host COO arrays; sorts by (row, col) and pads."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float32)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        nnz = int(rows.shape[0])
+
+        row_ptr = np.zeros(n_rows + 1, dtype=np.int32)
+        np.add.at(row_ptr, rows + 1, 1)
+        row_ptr = np.cumsum(row_ptr, dtype=np.int32)
+
+        e_pad = pad_edges_to(nnz, pad_multiple)
+        pad = e_pad - nnz
+        if pad:
+            # Padding edges point at the last row/col with zero weight so
+            # every consumer treats them as no-ops while indices stay sorted
+            # and in-range.
+            rows = np.concatenate([rows, np.full(pad, max(n_rows - 1, 0))])
+            cols = np.concatenate([cols, np.full(pad, max(n_cols - 1, 0))])
+            vals = np.concatenate([vals, np.zeros(pad, dtype=np.float32)])
+
+        return SparseGraph(
+            rows=jnp.asarray(rows, dtype=jnp.int32),
+            cols=jnp.asarray(cols, dtype=jnp.int32),
+            vals=jnp.asarray(vals, dtype=jnp.float32),
+            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            n_rows=int(n_rows),
+            n_cols=int(n_cols),
+            nnz=nnz,
+        )
+
+    @staticmethod
+    def from_scipy(mat, pad_multiple: int = EDGE_PAD_MULTIPLE) -> "SparseGraph":
+        """Build from any scipy.sparse matrix."""
+        coo = mat.tocoo()
+        return SparseGraph.from_coo(
+            coo.row, coo.col, coo.data, coo.shape[0], coo.shape[1], pad_multiple
+        )
+
+    # ------------------------------------------------------------- convert
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        rows = np.asarray(self.rows)[: self.nnz]
+        cols = np.asarray(self.cols)[: self.nnz]
+        vals = np.asarray(self.vals)[: self.nnz]
+        return sp.coo_matrix((vals, (rows, cols)), shape=self.shape)
+
+    def transpose(self) -> "SparseGraph":
+        """Return the transpose (re-sorted by the new row index), on host."""
+        rows = np.asarray(self.rows)[: self.nnz]
+        cols = np.asarray(self.cols)[: self.nnz]
+        vals = np.asarray(self.vals)[: self.nnz]
+        return SparseGraph.from_coo(cols, rows, vals, self.n_cols, self.n_rows)
+
+    def with_vals(self, vals: jnp.ndarray) -> "SparseGraph":
+        """Same sparsity pattern, new edge values (traced-value friendly)."""
+        return dataclasses.replace(self, vals=vals)
+
+    # --------------------------------------------------------------- utils
+
+    def degrees(self) -> jnp.ndarray:
+        """Weighted out-degree per row (padding edges contribute 0)."""
+        return jax.ops.segment_sum(
+            self.vals, self.rows, num_segments=self.n_rows, indices_are_sorted=True
+        )
+
+    def binary_degrees(self) -> jnp.ndarray:
+        """Unweighted degree per row (counts true edges only)."""
+        ones = (self.vals != 0).astype(jnp.float32)
+        return jax.ops.segment_sum(
+            ones, self.rows, num_segments=self.n_rows, indices_are_sorted=True
+        )

@@ -1,0 +1,14 @@
+from sgc_tpu.models.sgc import SGCParams, init_sgc, sgc_apply
+from sgc_tpu.models.gcn import GCNParams, init_gcn, gcn_apply
+from sgc_tpu.models.registry import get_model, register_model
+
+__all__ = [
+    "SGCParams",
+    "init_sgc",
+    "sgc_apply",
+    "GCNParams",
+    "init_gcn",
+    "gcn_apply",
+    "get_model",
+    "register_model",
+]

@@ -1,0 +1,5 @@
+from sgc_tpu.ops.spmm import spmm
+from sgc_tpu.ops.propagate import propagate, sgc_precompute
+from sgc_tpu.ops.scaling import fit_minmax, apply_minmax
+
+__all__ = ["spmm", "propagate", "sgc_precompute", "fit_minmax", "apply_minmax"]

@@ -1,0 +1,15 @@
+from sgc_tpu.train.metrics import accuracy, f1, f1_weighted, optimized_precision
+from sgc_tpu.train.optim import torch_adam, lbfgs_minimize
+from sgc_tpu.train.loops import train_regression, train_linear, eval_linear
+
+__all__ = [
+    "accuracy",
+    "f1",
+    "f1_weighted",
+    "optimized_precision",
+    "torch_adam",
+    "lbfgs_minimize",
+    "train_regression",
+    "train_linear",
+    "eval_linear",
+]

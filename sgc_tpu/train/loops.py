@@ -1,0 +1,137 @@
+"""Full-batch training / evaluation loops.
+
+The SGC factorization means training never touches the graph: these loops
+consume propagated features only. Parity targets:
+
+* ``train_regression`` — reference citation.py:35-58: Adam (lr 0.2, L2
+  weight decay), ``epochs`` full-batch cross-entropy steps on train rows.
+  Here the epoch loop is a single ``lax.scan`` jitted program — zero host
+  round-trips (the reference pays one per epoch).
+* ``train_linear`` / ``eval_linear`` — downstream/TextSGC/train.py:52-100:
+  L-BFGS with manual L2 ``0.5 * wd * ||W||^2``, binary (sigmoid + BCE) vs
+  multiclass (log-softmax + NLL) criteria, optional inverse-frequency class
+  weights (TextSGC_indexing/trainv2.py:74-82).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from time import perf_counter
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sgc_tpu.models.sgc import SGCParams, sgc_apply
+from sgc_tpu.train.optim import lbfgs_fit_pytree, torch_adam
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  class_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean softmax cross-entropy; torch-style weighted mean if weights given."""
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if class_weights is None:
+        return losses.mean()
+    w = class_weights[labels]
+    return (losses * w).sum() / w.sum()
+
+
+def binary_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean BCE on sigmoid(logits) vs float labels (numerically stable)."""
+    logits = logits.squeeze()
+    labels = labels.astype(logits.dtype)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("epochs", "lr", "weight_decay"),
+    donate_argnums=(0,),
+)
+def _adam_epochs(
+    params: SGCParams,
+    train_x: jnp.ndarray,
+    train_y: jnp.ndarray,
+    lr: float,
+    weight_decay: float,
+    epochs: int,
+):
+    tx = torch_adam(lr, weight_decay)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return cross_entropy(sgc_apply(p, train_x), train_y)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=epochs)
+    return params, losses
+
+
+def train_regression(
+    params: SGCParams,
+    train_features: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    epochs: int = 100,
+    weight_decay: float = 5e-6,
+    lr: float = 0.2,
+):
+    """Adam full-batch logistic regression. Returns (params, train_seconds)."""
+    lowered = _adam_epochs.lower(
+        params, train_features, train_labels, lr, weight_decay, epochs
+    )
+    compiled = lowered.compile()
+    t = perf_counter()
+    params, losses = compiled(params, train_features, train_labels)
+    jax.block_until_ready(params)
+    return params, perf_counter() - t
+
+
+def train_linear(
+    params: SGCParams,
+    train_features: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    weight_decay: float = 0.0,
+    epochs: int = 3,
+    binary: bool = False,
+    class_weights: jnp.ndarray | None = None,
+    lr: float = 1.0,
+):
+    """L-BFGS linear-head fit with manual L2 on W. Returns (params, seconds)."""
+
+    def loss_fn(p: SGCParams):
+        logits = sgc_apply(p, train_features)
+        l2 = 0.5 * weight_decay * jnp.sum(p.w**2)
+        if binary:
+            return binary_cross_entropy(logits, train_labels) + l2
+        return cross_entropy(logits, train_labels, class_weights) + l2
+
+    t = perf_counter()
+    params, _, _ = lbfgs_fit_pytree(loss_fn, params, epochs=epochs, lr=lr)
+    jax.block_until_ready(params)
+    return params, perf_counter() - t
+
+
+def eval_linear(
+    params: SGCParams,
+    features: jnp.ndarray,
+    labels: jnp.ndarray,
+    binary: bool = False,
+) -> dict:
+    """Loss + accuracy on a split. Parity: TextSGC train.py:80-100."""
+    logits = sgc_apply(params, features)
+    if binary:
+        loss = binary_cross_entropy(logits, labels)
+        preds = (jax.nn.sigmoid(logits.squeeze()) > 0.5).astype(labels.dtype)
+    else:
+        loss = cross_entropy(logits, labels)
+        preds = jnp.argmax(logits, axis=1)
+    acc = jnp.mean((preds == labels).astype(jnp.float32))
+    return {"loss": float(loss), "accuracy": float(acc), "predictions": preds}

@@ -1,0 +1,56 @@
+"""End-to-end golden-accuracy tests on the citation benchmarks.
+
+The reference publishes (README.md:29-34): Cora 81.0, Citeseer 71.9 (150
+epochs), Pubmed 78.9 — these are the regression oracles (SURVEY.md section 4).
+Model init is random-but-equivalent-distribution, so we assert within a
+small tolerance of the published numbers rather than bitwise.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_citeseer, requires_cora, requires_pubmed
+
+from sgc_tpu.data.planetoid import load_citation
+from sgc_tpu.ops.propagate import propagate
+from sgc_tpu.utils.config import CitationConfig
+
+
+def run_citation(dataset, epochs=100):
+    from sgc_tpu.cli.citation import run
+
+    cfg = CitationConfig(dataset=dataset, epochs=epochs, tuned=True)
+    return run(cfg)
+
+
+@requires_cora
+def test_cora_golden_accuracy():
+    res = run_citation("cora")
+    assert res["test_accuracy"] >= 0.805, res
+
+
+@requires_citeseer
+def test_citeseer_golden_accuracy():
+    res = run_citation("citeseer", epochs=150)
+    assert res["test_accuracy"] >= 0.714, res
+
+
+@requires_pubmed
+def test_pubmed_golden_accuracy():
+    res = run_citation("pubmed")
+    assert res["test_accuracy"] >= 0.784, res
+
+
+@requires_cora
+def test_cora_per_hop_parity_vs_scipy():
+    """Per-hop propagated features allclose vs a host scipy oracle."""
+    data = load_citation("cora")
+    s = data.graph.to_scipy().tocsr()
+    x = np.asarray(data.features)
+    _, hops = propagate(data.features, data.graph, 2, collect_hops=True)
+    expected = x
+    for k in range(2):
+        expected = s @ expected
+        np.testing.assert_allclose(
+            np.asarray(hops[k]), expected, rtol=1e-4, atol=1e-6
+        )

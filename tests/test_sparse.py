@@ -1,0 +1,119 @@
+"""SparseGraph container + normalization unit tests vs scipy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sgc_tpu.graph.normalize import (
+    aug_normalized_adjacency,
+    normalize_adjacency_device,
+    row_normalize,
+    standardize_features,
+    symmetrize_max,
+)
+from sgc_tpu.graph.sparse import SparseGraph, pad_edges_to
+
+
+def random_sparse(n_rows, n_cols, density, seed=0):
+    rng = np.random.default_rng(seed)
+    mat = sp.random(
+        n_rows, n_cols, density=density, format="coo", random_state=rng,
+        data_rvs=lambda k: rng.standard_normal(k).astype(np.float32),
+    )
+    return mat
+
+
+def test_pad_edges_to():
+    assert pad_edges_to(0) == 1024
+    assert pad_edges_to(1) == 1024
+    assert pad_edges_to(1024) == 1024
+    assert pad_edges_to(1025) == 2048
+    assert pad_edges_to(7, multiple=4) == 8
+
+
+def test_roundtrip_scipy():
+    mat = random_sparse(50, 70, 0.1)
+    g = SparseGraph.from_scipy(mat)
+    assert g.n_rows == 50 and g.n_cols == 70
+    assert g.nnz == mat.nnz
+    assert g.n_edges_padded % 1024 == 0
+    back = g.to_scipy()
+    np.testing.assert_allclose(back.toarray(), mat.toarray(), rtol=1e-6)
+
+
+def test_rows_sorted_and_padding_zero():
+    g = SparseGraph.from_scipy(random_sparse(30, 30, 0.2, seed=1))
+    rows = np.asarray(g.rows)
+    assert (np.diff(rows) >= 0).all()
+    assert (np.asarray(g.vals)[g.nnz:] == 0).all()
+    assert (np.asarray(g.rows)[g.nnz:] < g.n_rows).all()
+
+
+def test_row_ptr_matches_csr():
+    mat = random_sparse(40, 40, 0.15, seed=2)
+    g = SparseGraph.from_scipy(mat)
+    csr = mat.tocsr()
+    np.testing.assert_array_equal(np.asarray(g.row_ptr), csr.indptr)
+
+
+def test_transpose():
+    mat = random_sparse(20, 35, 0.2, seed=3)
+    g = SparseGraph.from_scipy(mat).transpose()
+    np.testing.assert_allclose(
+        g.to_scipy().toarray(), mat.T.toarray(), rtol=1e-6
+    )
+
+
+def test_degrees():
+    mat = random_sparse(25, 25, 0.3, seed=4)
+    g = SparseGraph.from_scipy(mat)
+    np.testing.assert_allclose(
+        np.asarray(g.degrees()), np.asarray(mat.sum(1)).ravel(), rtol=1e-5
+    )
+
+
+def test_aug_normalized_adjacency_matches_formula():
+    rng = np.random.default_rng(5)
+    a = (rng.random((30, 30)) < 0.1).astype(np.float32)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0)
+    s = aug_normalized_adjacency(sp.coo_matrix(a)).toarray()
+    a_tilde = a + np.eye(30)
+    d = a_tilde.sum(1)
+    expected = a_tilde / np.sqrt(np.outer(d, d))
+    np.testing.assert_allclose(s, expected, rtol=1e-6)
+
+
+def test_device_normalization_matches_host():
+    rng = np.random.default_rng(6)
+    a = (rng.random((40, 40)) < 0.15).astype(np.float32)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0)
+    host = aug_normalized_adjacency(sp.coo_matrix(a)).toarray()
+
+    a_with_loops = sp.coo_matrix(a + np.eye(40, dtype=np.float32))
+    g = SparseGraph.from_scipy(a_with_loops)
+    dev = normalize_adjacency_device(g)
+    np.testing.assert_allclose(dev.to_scipy().toarray(), host, rtol=1e-5)
+
+
+def test_row_normalize_zero_rows():
+    mat = sp.csr_matrix(np.array([[1.0, 3.0], [0.0, 0.0]]))
+    out = row_normalize(mat)
+    np.testing.assert_allclose(
+        np.asarray(out.todense()), [[0.25, 0.75], [0.0, 0.0]]
+    )
+
+
+def test_symmetrize_max():
+    a = sp.coo_matrix(np.array([[0, 2.0], [1.0, 0]]))
+    out = symmetrize_max(a).toarray()
+    np.testing.assert_allclose(out, [[0, 2.0], [2.0, 0]])
+
+
+def test_standardize_features_unbiased():
+    x = jnp.asarray(np.random.default_rng(7).random((100, 5)), dtype=jnp.float32)
+    out = np.asarray(standardize_features(x))
+    np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.std(0, ddof=1), 1.0, atol=1e-4)

@@ -1,0 +1,101 @@
+"""SpMM / SDDMM / propagation correctness vs scipy oracles."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.ops.propagate import propagate
+from sgc_tpu.ops.spmm import sddmm, spmm, spmm_chunked, spmm_segment
+
+
+def random_problem(n_rows=200, n_cols=150, f=33, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    mat = sp.random(
+        n_rows, n_cols, density=density, format="coo", random_state=rng,
+        data_rvs=lambda k: rng.standard_normal(k).astype(np.float32),
+    )
+    x = rng.standard_normal((n_cols, f)).astype(np.float32)
+    return SparseGraph.from_scipy(mat), mat, x
+
+
+@pytest.mark.parametrize("impl", ["segment", "chunked"])
+def test_spmm_matches_scipy(impl):
+    g, mat, x = random_problem()
+    out = np.asarray(spmm(g, x, impl=impl))
+    expected = mat @ x
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_impls_agree():
+    g, _, x = random_problem(seed=1)
+    a = np.asarray(spmm_segment(g, x))
+    b = np.asarray(spmm_chunked(g, x, chunk=512))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_empty_rows():
+    # Rows with no edges must be exactly zero.
+    mat = sp.coo_matrix(
+        (np.ones(2, np.float32), ([0, 3], [1, 2])), shape=(5, 4)
+    )
+    x = np.ones((4, 3), np.float32)
+    out = np.asarray(spmm(SparseGraph.from_scipy(mat), x))
+    np.testing.assert_array_equal(out[[1, 2, 4]], 0.0)
+    np.testing.assert_array_equal(out[[0, 3]], 1.0)
+
+
+def test_spmm_under_jit_and_grad():
+    g, mat, x = random_problem(n_rows=50, n_cols=50, f=8, seed=2)
+
+    @jax.jit
+    def f(xx):
+        return spmm(g, xx).sum()
+
+    grad = np.asarray(jax.grad(f)(jax.numpy.asarray(x)))
+    # d/dX (1^T S X 1) = S^T 1 broadcast over features
+    expected = np.repeat(
+        np.asarray(mat.sum(0)).ravel()[:, None], x.shape[1], axis=1
+    )
+    np.testing.assert_allclose(grad, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_propagate_k_hops():
+    g, mat, x = random_problem(n_rows=80, n_cols=80, f=16, seed=3)
+    for k in (1, 2, 3):
+        out = np.asarray(propagate(jax.numpy.asarray(x), g, k))
+        expected = x.copy()
+        for _ in range(k):
+            expected = mat @ expected
+        np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_propagate_collect_hops():
+    g, mat, x = random_problem(n_rows=40, n_cols=40, f=4, seed=4)
+    out, hops = propagate(jax.numpy.asarray(x), g, 3, collect_hops=True)
+    assert len(hops) == 3
+    np.testing.assert_allclose(np.asarray(hops[-1]), np.asarray(out))
+    expected = mat @ x
+    np.testing.assert_allclose(np.asarray(hops[0]), expected, rtol=1e-3, atol=1e-5)
+
+
+def test_sddmm_matches_dense():
+    g, mat, _ = random_problem(n_rows=60, n_cols=45, f=0, seed=5)
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((60, 7)).astype(np.float32)
+    b = rng.standard_normal((45, 7)).astype(np.float32)
+    out = np.asarray(sddmm(g, a, b))
+    full = a @ b.T
+    rows = np.asarray(g.rows)[: g.nnz]
+    cols = np.asarray(g.cols)[: g.nnz]
+    np.testing.assert_allclose(out[: g.nnz], full[rows, cols], rtol=1e-4, atol=1e-5)
+    # padded entries still computed but correspond to (last_row, last_col)
+    assert out.shape[0] == g.n_edges_padded
+
+
+def test_spmm_deterministic():
+    g, _, x = random_problem(seed=7)
+    a = np.asarray(spmm(g, x))
+    b = np.asarray(spmm(g, x))
+    np.testing.assert_array_equal(a, b)
