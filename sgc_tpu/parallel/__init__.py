@@ -1,0 +1,21 @@
+"""Distributed execution: device meshes, graph partitioning, sharded ops.
+
+The reference is single-process / single-GPU (SURVEY.md §2.5: no NCCL/MPI
+anywhere; the graph lives wholly on one device, reference utils.py:84).
+This package is the scaling layer the reference never had, built the TPU
+way: a `jax.sharding.Mesh`, `shard_map`-expressed SPMD programs, and XLA
+collectives over ICI.
+
+  mesh.py       — mesh construction (("nodes", "feat") axes) for 1..N chips
+  partition.py  — row-block edge partitioning of a SparseGraph (the GNN
+                  analog of sequence parallelism: nodes are the long axis)
+  spmm.py       — sharded SpMM: per-device row-segment SpMM fed by an
+                  all-gather / halo exchange of column features over ICI
+  train.py      — full sharded SGC training step (graph-partitioned
+                  propagation + tensor-parallel linear head + data-parallel
+                  gradient psum)
+"""
+
+from sgc_tpu.parallel.mesh import make_mesh  # noqa: F401
+from sgc_tpu.parallel.partition import PartitionedGraph, partition_graph  # noqa: F401
+from sgc_tpu.parallel.spmm import spmm_sharded  # noqa: F401

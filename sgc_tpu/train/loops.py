@@ -94,6 +94,33 @@ def train_regression(
     return params, perf_counter() - t
 
 
+@partial(
+    jax.jit,
+    static_argnames=("epochs", "binary", "weighted", "lr"),
+)
+def _lbfgs_linear_fit(
+    params: SGCParams,
+    train_features: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    weight_decay: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    epochs: int,
+    binary: bool,
+    weighted: bool,
+    lr: float,
+):
+    def loss_fn(p: SGCParams):
+        logits = sgc_apply(p, train_features)
+        l2 = 0.5 * weight_decay * jnp.sum(p.w**2)
+        if binary:
+            return binary_cross_entropy(logits, train_labels) + l2
+        cw = class_weights if weighted else None
+        return cross_entropy(logits, train_labels, cw) + l2
+
+    params, loss, _ = lbfgs_fit_pytree(loss_fn, params, epochs=epochs, lr=lr)
+    return params, loss
+
+
 def train_linear(
     params: SGCParams,
     train_features: jnp.ndarray,
@@ -104,17 +131,22 @@ def train_linear(
     class_weights: jnp.ndarray | None = None,
     lr: float = 1.0,
 ):
-    """L-BFGS linear-head fit with manual L2 on W. Returns (params, seconds)."""
+    """L-BFGS linear-head fit with manual L2 on W. Returns (params, seconds).
 
-    def loss_fn(p: SGCParams):
-        logits = sgc_apply(p, train_features)
-        l2 = 0.5 * weight_decay * jnp.sum(p.w**2)
-        if binary:
-            return binary_cross_entropy(logits, train_labels) + l2
-        return cross_entropy(logits, train_labels, class_weights) + l2
-
+    The whole optimization is one cached jitted program (keyed on shapes +
+    static config), so repeated fits — hyperopt trials, cross-val folds,
+    benchmark warm-up — pay compilation once.
+    """
+    weighted = class_weights is not None
+    if class_weights is None:
+        n_out = params.w.shape[1]
+        class_weights = jnp.ones((n_out,), jnp.float32)
+    wd = jnp.asarray(weight_decay, jnp.float32)
     t = perf_counter()
-    params, _, _ = lbfgs_fit_pytree(loss_fn, params, epochs=epochs, lr=lr)
+    params, _ = _lbfgs_linear_fit(
+        params, train_features, train_labels, wd, class_weights,
+        epochs, binary, weighted, lr,
+    )
     jax.block_until_ready(params)
     return params, perf_counter() - t
 
