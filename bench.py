@@ -71,7 +71,7 @@ def synthetic_reddit(scale: float):
 def real_reddit():
     from sgc_tpu.data.reddit import load_reddit
 
-    d = load_reddit("AugNormAdj", inductive=False)
+    d = load_reddit("AugNormAdj")
     return d.graph, np.asarray(d.features), np.asarray(d.labels), np.asarray(
         d.idx_train
     ), d

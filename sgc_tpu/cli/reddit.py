@@ -1,0 +1,116 @@
+"""Reddit SGC training CLI (large-graph, inductive).
+
+Usage parity with the reference entry point (reference reddit.py,
+README.md:79-81):
+
+    python -m sgc_tpu.cli.reddit --inductive --test
+
+Pipeline (reference reddit.py:38-74): load + standardize, propagate the
+FULL graph K hops for eval features, propagate the train-only
+sub-adjacency for training features (inductive mode — no test leakage),
+fit the linear head with L-BFGS (lr 1, 2 epochs), report micro/macro F1.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from sgc_tpu.data.reddit import load_reddit
+from sgc_tpu.models.sgc import init_sgc, sgc_apply
+from sgc_tpu.ops.propagate import sgc_precompute
+from sgc_tpu.train.loops import train_linear
+from sgc_tpu.train.metrics import f1
+from sgc_tpu.utils.seeding import set_seed
+
+
+def run(
+    inductive: bool = True,
+    test: bool = True,
+    degree: int = 2,
+    epochs: int = 2,
+    lr: float = 1.0,
+    weight_decay: float = 0.0,
+    normalization: str = "AugNormAdj",
+    seed: int = 42,
+    data_path: str | None = None,
+) -> dict:
+    key = set_seed(seed)
+    data = load_reddit(normalization, data_path)
+
+    # Eval features always come from the full graph (reference reddit.py:43).
+    feats_eval, t_full = sgc_precompute(data.features, data.graph, degree)
+
+    if inductive:
+        # Train features from the train-only sub-adjacency over train rows
+        # (reference reddit.py:44-45).
+        train_in = data.features[jnp.asarray(data.idx_train)]
+        feats_train, t_train_pre = sgc_precompute(
+            train_in, data.train_graph, degree
+        )
+    else:
+        feats_train = feats_eval[jnp.asarray(data.idx_train)]
+        t_train_pre = 0.0
+
+    params = init_sgc(key, feats_eval.shape[1], data.n_classes, bias=True)
+    labels_train = data.labels[jnp.asarray(data.idx_train)]
+    params, train_time = train_linear(
+        params, feats_train, labels_train,
+        weight_decay=weight_decay, epochs=epochs, lr=lr,
+    )
+
+    split = data.idx_test if test else data.idx_val
+    logits = sgc_apply(params, feats_eval[jnp.asarray(split)])
+    micro, macro = f1(logits, data.labels[jnp.asarray(split)])
+
+    precompute_time = t_full + t_train_pre
+    return {
+        "f1_micro": micro,
+        "f1_macro": macro,
+        "precompute_time": precompute_time,
+        "train_time": train_time,
+        "total_time": precompute_time + train_time,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--inductive", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--degree", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--lr", type=float, default=1.0)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--normalization", default="AugNormAdj")
+    parser.add_argument("--data_path", default=None)
+    args = parser.parse_args()
+
+    res = run(
+        inductive=args.inductive,
+        test=args.test,
+        degree=args.degree,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        normalization=args.normalization,
+        seed=args.seed,
+        data_path=args.data_path,
+    )
+    print(
+        "Total Time: {:.4f}s, {} F1: {:.4f}".format(
+            res["total_time"],
+            "Test" if args.test else "Validation",
+            res["f1_micro"],
+        )
+    )
+    print(
+        "Pre-compute time: {:.4f}s, train time: {:.4f}s".format(
+            res["precompute_time"], res["train_time"]
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

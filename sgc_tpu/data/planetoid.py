@@ -69,7 +69,7 @@ def load_citation(
     normalization: str = "AugNormAdj",
     data_path: str | None = None,
 ) -> CitationData:
-    root = data_dir(data_path)
+    root = data_dir(data_path, marker=f"ind.{dataset}.x")
     objs = {p: _load_pickle(root / f"ind.{dataset.lower()}.{p}") for p in PLANETOID_PARTS}
     x, y = objs["x"], objs["y"]
     tx, ty = objs["tx"], objs["ty"]

@@ -37,7 +37,7 @@ class RedditData:
 def load_reddit(
     normalization: str = "AugNormAdj", data_path: str | None = None
 ) -> RedditData:
-    root = data_dir(data_path)
+    root = data_dir(data_path, marker="reddit_adj.npz")
     adj = sp.load_npz(root / "reddit_adj.npz")
     data = np.load(root / "reddit.npz")
     y_train, y_val, y_test = data["y_train"], data["y_val"], data["y_test"]

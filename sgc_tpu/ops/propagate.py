@@ -80,33 +80,92 @@ def onehot_selector(n_rows: int, indices: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(sel)
 
 
-@partial(jax.jit, static_argnames=("impl",))
-def _skk_columns(graph: SparseGraph, selector: jnp.ndarray, impl: str = "auto"):
-    # (S @ (S @ E))^T : rows are the selected nodes' S^2 rows (S symmetric).
-    return spmm(graph, spmm(graph, selector, impl=impl), impl=impl).T
+def _sliced_columns(graph: SparseGraph, indices: np.ndarray) -> jnp.ndarray:
+    """Dense S[:, indices] (float32[n, m]) without a one-hot matmul.
+
+    The first hop of S^K @ E is exactly a column slice of S; materializing
+    it directly from the edge list skips an (E x m) gather entirely.
+    """
+    rows = np.asarray(graph.rows)[: graph.nnz]
+    cols = np.asarray(graph.cols)[: graph.nnz]
+    vals = np.asarray(graph.vals)[: graph.nnz]
+    indices = np.asarray(indices)
+    pos = -np.ones(graph.n_cols, dtype=np.int64)
+    pos[indices] = np.arange(indices.shape[0])
+    sel = pos[cols] >= 0
+    out = np.zeros((graph.n_rows, indices.shape[0]), dtype=np.float32)
+    np.add.at(out, (rows[sel], pos[cols[sel]]), vals[sel])
+    return jnp.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("hops", "impl"))
+def _hops_then_transpose(
+    graph: SparseGraph, dense: jnp.ndarray, hops: int, impl: str = "auto"
+):
+    for _ in range(hops):
+        dense = spmm(graph, dense, impl=impl)
+    return dense.T
+
+
+@partial(jax.jit, static_argnames=("hops",))
+def _dense_hops_then_transpose(s_dense: jnp.ndarray, dense: jnp.ndarray, hops: int):
+    # MXU path: for doc-word graphs (N <= ~50K) a densified S turns the
+    # remaining hops into plain matmuls — the fastest formulation on TPU
+    # (and the reference densifies S anyway, train.py:105; here it lives
+    # in HBM, not host RAM).
+    for _ in range(hops):
+        dense = jnp.dot(s_dense, dense, preferred_element_type=jnp.float32)
+    return dense.T
+
+
+# Above this node count, the densified-S MXU path for structural features
+# is abandoned for the sparse path (dense S = N^2 floats in HBM).
+_DENSE_S_MAX_NODES = 50_000
 
 
 def text_structural_features(
     graph: SparseGraph,
     index_dict: dict[str, np.ndarray],
+    degree: int = 2,
     impl: str = "auto",
 ):
-    """TextSGC precompute: per-phase rows of S^2, min-max scaled on train.
+    """TextSGC precompute: per-phase rows of S^K, min-max scaled on train.
 
-    Mirrors downstream/TextSGC/utils.py:131-152 — features are S^2 column
-    slices transposed (S symmetric), min-max statistics are fit on the train
-    phase, zero-range dims dropped, and the same transform applied to
-    val/test — but computed sparsely (no N x N dense S).
+    Mirrors downstream/TextSGC/utils.py:131-152 — features are S^K column
+    slices transposed (S symmetric), min-max statistics are fit on the
+    train phase, zero-range dims dropped, and the same transform applied
+    to val/test. The first hop is a direct column slice of S (no one-hot
+    matmul); remaining hops run either as dense matmuls against a
+    densified S (MXU, graphs <= ~50K nodes — the reference densifies too,
+    train.py:105, but on host RAM) or as sparse SpMM hops
+    (impl='sparse' or large graphs).
 
     Returns ``(feat_dict, precompute_seconds)``.
     """
     from sgc_tpu.ops.scaling import apply_minmax, fit_minmax
 
+    use_dense = (
+        impl in ("auto", "dense") and graph.n_rows <= _DENSE_S_MAX_NODES
+        and impl != "sparse"
+    ) or impl == "dense"
+
     t = perf_counter()
-    per_phase = {
-        phase: _skk_columns(graph, onehot_selector(graph.n_rows, idx), impl)
-        for phase, idx in index_dict.items()
-    }
+    if use_dense and degree > 1:
+        s_dense = jnp.asarray(graph.to_scipy().toarray())
+        per_phase = {
+            phase: _dense_hops_then_transpose(
+                s_dense, _sliced_columns(graph, idx), degree - 1
+            )
+            for phase, idx in index_dict.items()
+        }
+    else:
+        sp_impl = "auto" if impl in ("auto", "dense", "sparse") else impl
+        per_phase = {
+            phase: _hops_then_transpose(
+                graph, _sliced_columns(graph, idx), degree - 1, sp_impl
+            )
+            for phase, idx in index_dict.items()
+        }
     stats = fit_minmax(per_phase["train"])
     feat_dict = {p: apply_minmax(stats, f) for p, f in per_phase.items()}
     jax.block_until_ready(feat_dict)

@@ -14,17 +14,27 @@ from pathlib import Path
 _REFERENCE_DATA = Path("/root/reference/data")
 
 
-def data_dir(explicit: str | os.PathLike | None = None) -> Path:
+def data_dir(
+    explicit: str | os.PathLike | None = None, marker: str | None = None
+) -> Path:
+    """Resolve the dataset directory.
+
+    With ``marker`` set, ``./data`` and the reference checkout are only
+    chosen if they actually contain that file — so a partially-populated
+    local ./data does not shadow datasets that live elsewhere.
+    """
     if explicit is not None:
         return Path(explicit)
     env = os.environ.get("SGC_TPU_DATA")
     if env:
         return Path(env)
-    cwd_data = Path.cwd() / "data"
-    if cwd_data.is_dir():
-        return cwd_data
-    if _REFERENCE_DATA.is_dir():
-        return _REFERENCE_DATA
+    candidates = [Path.cwd() / "data", _REFERENCE_DATA]
+    for c in candidates:
+        if c.is_dir() and (marker is None or (c / marker).exists()):
+            return c
+    for c in candidates:
+        if c.is_dir():
+            return c
     raise FileNotFoundError(
         "no dataset directory found: pass a path, set SGC_TPU_DATA, or "
         "create ./data"

@@ -1,0 +1,159 @@
+"""Text-graph construction tests: vectorized builders vs direct oracles."""
+
+import itertools
+import math
+import pickle
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from sgc_tpu.textgraph.clean import clean_docs
+from sgc_tpu.textgraph.graph import (
+    TextCorpus,
+    TextGraphBuilder,
+    build_vocab,
+    doc_word_counts,
+    pmi_word_graph,
+    tfidf_doc_word,
+)
+
+DOCS = [
+    "the cat sat on the mat".split(),
+    "the dog sat on the log and the dog barked".split(),
+    "cats and dogs and cats".split(),
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z".split(),
+]
+
+
+def _encode(docs, vocab):
+    wid = {w: i for i, w in enumerate(vocab)}
+    return [np.asarray([wid[w] for w in d], dtype=np.int64) for d in docs], wid
+
+
+def test_pmi_matches_counter_oracle():
+    window = 5
+    vocab = build_vocab(DOCS)
+    enc, wid = _encode(DOCS, vocab)
+
+    windows = []
+    for d in DOCS:
+        if len(d) <= window:
+            windows.append(d)
+        else:
+            windows += [d[k : k + window] for k in range(len(d) - window + 1)]
+    wwf = Counter()
+    for w in windows:
+        wwf.update(set(w))
+    wpc = Counter()
+    for w in windows:
+        wpc.update(itertools.permutations(w, 2))
+    oracle = {}
+    for (a, b), c in wpc.items():
+        pmi = math.log(c * len(windows) / (wwf[a] * wwf[b]))
+        if pmi > 0:
+            oracle[(wid[a], wid[b])] = pmi
+
+    D = dict(pmi_word_graph(enc, len(vocab), window=window).todok().items())
+    assert set(D) == set(oracle)
+    for k, v in oracle.items():
+        assert abs(D[k] - v) < 1e-5
+
+
+def test_tfidf_matches_oracle():
+    vocab = build_vocab(DOCS)
+    enc, wid = _encode(DOCS, vocab)
+    counts = doc_word_counts(enc, len(vocab))
+    B = tfidf_doc_word(counts).todok()
+    df = Counter()
+    for d in DOCS:
+        df.update(set(d))
+    for d, doc in enumerate(DOCS):
+        for w, c in Counter(doc).items():
+            want = c * math.log(len(DOCS) / df[w])
+            assert abs(B[d, wid[w]] - want) < 1e-6
+
+
+def test_pivoted_tfidf_formula():
+    vocab = build_vocab(DOCS)
+    enc, _ = _encode(DOCS, vocab)
+    counts = doc_word_counts(enc, len(vocab))
+    P = tfidf_doc_word(counts, pivoted=True)
+    lengths = np.asarray(counts.sum(axis=1)).ravel()
+    avg = lengths.mean()
+    df = np.asarray((counts > 0).sum(axis=0)).ravel()
+    coo = counts.tocoo()
+    for r, c, f in list(zip(coo.row, coo.col, coo.data))[:20]:
+        tf = 1.0 + np.log1p(np.log(max(f, 1.0)) + 1e-12)
+        norm = 0.8 + 0.2 * lengths[r] / avg
+        want = tf / norm * np.log(len(DOCS) / df[c])
+        assert abs(P[r, c] - want) < 1e-6
+
+
+def test_clean_docs_stopwords_and_minfreq():
+    docs = [
+        "the apple apple apple orange",
+        "the apple apple banana weirdtoken",
+    ]
+    out = clean_docs(docs, stopword_list="nltk", min_freq=5)
+    # 'the' is a stopword; apple appears 5x (kept); orange/banana/weirdtoken < 5
+    assert out[0] == "apple apple apple"
+    assert out[1] == "apple apple"
+    out = clean_docs(docs, stopword_list="none", min_freq=1)
+    assert "the" in out[0].split()
+
+
+def _tiny_corpus(n_per_class=30, seed=0):
+    """Synthetic two-class corpus with class-specific keywords."""
+    rng = np.random.default_rng(seed)
+    shared = ["alpha", "beta", "gamma", "delta"]
+    topics = {"sci": ["quantum", "neuron", "tensor"],
+              "biz": ["market", "profit", "trade"]}
+    docs, phases, labels = [], [], []
+    for label, words in topics.items():
+        for i in range(n_per_class):
+            k = rng.integers(8, 16)
+            toks = list(rng.choice(words, k)) + list(rng.choice(shared, 4))
+            rng.shuffle(toks)
+            docs.append(toks)
+            phases.append("test" if i % 5 == 0 else "train")
+            labels.append(label)
+    return TextCorpus(docs, phases, labels, sorted(topics))
+
+
+def test_build_and_train_end_to_end(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    corpus = _tiny_corpus()
+    builder = TextGraphBuilder(window=6, seed=42)
+    res = builder.export(corpus, "tiny", tmp_path)
+
+    n = corpus.n_docs + len(res["vocab"])
+    for sub in ("B", "BC", "BD", "BCD"):
+        assert res["adjs"][sub].shape == (n, n)
+        with open(tmp_path / f"ind.tiny.{sub}.adj", "rb") as f:
+            assert pickle.load(f).nnz == res["adjs"][sub].nnz
+    # BC/BCD are symmetric by construction
+    bcd = res["adjs"]["BCD"]
+    assert abs(bcd - bcd.T).nnz == 0
+
+    from sgc_tpu.cli.textsgc import run
+    from sgc_tpu.utils.config import TextConfig
+
+    out = run(
+        TextConfig(dataset="tiny", epochs=2, weight_decay=1e-4),
+        data_path=str(tmp_path),
+    )
+    assert out["test_accuracy"] > 0.9, out
+
+
+def test_chi2_selection_keeps_discriminative_words(tmp_path):
+    corpus = _tiny_corpus(n_per_class=50)
+    res = TextGraphBuilder(
+        window=6, chi2_p_value=0.10, chi2_max_features=4
+    ).build(corpus)
+    # the class-keyword words should dominate the kept vocabulary
+    keywords = {"quantum", "neuron", "tensor", "market", "profit", "trade"}
+    assert set(res["vocab"]) <= keywords
+    assert len(res["vocab"]) == 4
