@@ -1,0 +1,131 @@
+"""Weight-decay tuning CLI (TPE over frozen propagated features).
+
+Usage parity with the reference entry points (tuning.py,
+downstream/TextSGC/tuning.py):
+
+    python -m sgc_tpu.cli.tuning --dataset cora
+    python -m sgc_tpu.cli.tuning --family text --dataset ohsumed
+
+The expensive K-hop propagation runs ONCE; each of the 60 TPE trials is a
+cheap jit-cached linear-head fit scored on validation accuracy (reference
+tuning.py:18-38). Best weight decay is written to
+``<output>/<dataset>.json`` and can be merged into configs/tuned.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from sgc_tpu.models.sgc import init_sgc, sgc_apply
+from sgc_tpu.ops.propagate import sgc_precompute, text_structural_features
+from sgc_tpu.train.loops import eval_linear, train_linear, train_regression
+from sgc_tpu.train.metrics import accuracy
+from sgc_tpu.tune.tpe import fmin, loguniform
+from sgc_tpu.utils.seeding import set_seed
+
+
+def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path):
+    from sgc_tpu.data.planetoid import load_citation
+
+    key = set_seed(seed)
+    data = load_citation(dataset, "AugNormAdj", data_path)
+    features, _ = sgc_precompute(data.features, data.graph, degree)
+    train_x = features[data.idx_train]
+    train_y = data.labels[data.idx_train]
+    val_x = features[data.idx_val]
+    val_y = data.labels[data.idx_val]
+    nfeat, nclass = features.shape[1], data.n_classes
+
+    def objective(params):
+        model = init_sgc(key, nfeat, nclass)
+        model, _ = train_regression(
+            model, train_x, train_y, epochs, params["weight_decay"], lr
+        )
+        return -accuracy(sgc_apply(model, val_x), val_y)
+
+    # reference search space: loguniform(1e-10, 1e-4)  (tuning.py:21 uses
+    # exp of uniform(log(1e-10), log(1e-4)))
+    best, loss = fmin(
+        objective, {"weight_decay": loguniform(1e-10, 1e-4)},
+        max_evals=max_evals, seed=seed,
+    )
+    return best, -loss
+
+
+def tune_text(dataset, degree, epochs, max_evals, seed, data_path, subset):
+    from sgc_tpu.data.textcorpus import load_corpus
+
+    key = set_seed(seed)
+    data = load_corpus(dataset, subset, data_path)
+    binary = dataset == "mr"
+    feat_dict, _ = text_structural_features(
+        data.graph, data.index_dict, degree=degree
+    )
+    label_dict = {k: jnp.asarray(v) for k, v in data.label_dict.items()}
+    nclass = 1 if binary else data.n_classes
+
+    def objective(params):
+        model = init_sgc(
+            key, feat_dict["train"].shape[1], nclass, bias=False,
+            init="xavier_normal",
+        )
+        model, _ = train_linear(
+            model, feat_dict["train"], label_dict["train"],
+            weight_decay=params["weight_decay"], epochs=epochs, binary=binary,
+        )
+        res = eval_linear(model, feat_dict["val"], label_dict["val"], binary)
+        return -res["accuracy"]
+
+    # reference text search space: loguniform(1e-6, 1e0)
+    # (downstream/TextSGC/tuning.py:37)
+    best, loss = fmin(
+        objective, {"weight_decay": loguniform(1e-6, 1.0)},
+        max_evals=max_evals, seed=seed,
+    )
+    return best, -loss
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--family", default="citation",
+                        choices=["citation", "text"])
+    parser.add_argument("--dataset", default="cora")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--degree", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=0.2)
+    parser.add_argument("--max_evals", type=int, default=60)
+    parser.add_argument("--subset", default="BCD")
+    parser.add_argument("--data_path", default=None)
+    parser.add_argument("--output", default="tuned")
+    args = parser.parse_args()
+
+    if args.family == "citation":
+        epochs = args.epochs or 100
+        best, val_acc = tune_citation(
+            args.dataset, args.degree, epochs, args.lr, args.max_evals,
+            args.seed, args.data_path,
+        )
+    else:
+        epochs = args.epochs or 3
+        best, val_acc = tune_text(
+            args.dataset, args.degree, epochs, args.max_evals, args.seed,
+            args.data_path, args.subset,
+        )
+
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"{args.dataset}.json"
+    with open(out_path, "w") as f:
+        json.dump({"weight_decay": best["weight_decay"],
+                   "val_accuracy": val_acc}, f)
+    print(f"best weight_decay: {best['weight_decay']:.6e} "
+          f"(val acc {val_acc:.4f}) -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
