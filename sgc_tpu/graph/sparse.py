@@ -81,17 +81,17 @@ class SparseGraph:
         n_cols: int,
         pad_multiple: int = EDGE_PAD_MULTIPLE,
     ) -> "SparseGraph":
-        """Build from host COO arrays; sorts by (row, col) and pads."""
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
-        vals = np.asarray(vals, dtype=np.float32)
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        nnz = int(rows.shape[0])
+        """Build from host COO arrays; sorts by (row, col) and pads.
 
-        row_ptr = np.zeros(n_rows + 1, dtype=np.int32)
-        np.add.at(row_ptr, rows + 1, 1)
-        row_ptr = np.cumsum(row_ptr, dtype=np.int32)
+        Sorting and CSR construction go through the native C++ library
+        (sgc_tpu/native) when built — a parallel radix sort that is the
+        host-side hot path at 10M+ edges — with numpy fallbacks otherwise.
+        """
+        from sgc_tpu import native
+
+        rows, cols, vals = native.sort_edges(rows, cols, vals, n_rows, n_cols)
+        nnz = int(rows.shape[0])
+        row_ptr = native.row_ptr_from_sorted(rows, n_rows).astype(np.int32)
 
         e_pad = pad_edges_to(nnz, pad_multiple)
         pad = e_pad - nnz

@@ -1,0 +1,192 @@
+"""ctypes bindings for the native host-side graph preprocessing library.
+
+Exposes the C ABI of graphprep.cpp with numpy-fallback twins so the
+framework runs (slower) without the compiled library. ``available()``
+reports whether the fast path is active; the library auto-builds on first
+import when a compiler is present (cheap: single TU, ~2 s) and silently
+falls back otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_LIB_PATH = _HERE / "_graphprep.so"
+_lib = None
+
+
+def _try_load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and os.environ.get("SGC_TPU_NO_NATIVE") != "1":
+        try:
+            from sgc_tpu.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.c_int64
+
+    lib.sort_edges_by_row_col.argtypes = [i64p, i64p, f32p, i64, i64, i64]
+    lib.sort_edges_by_row_col.restype = ctypes.c_int
+    lib.build_row_ptr.argtypes = [i64p, i64, i64, i64p]
+    lib.build_row_ptr.restype = ctypes.c_int
+    lib.coalesce_sorted.argtypes = [i64p, i64p, f32p, i64]
+    lib.coalesce_sorted.restype = i64
+    lib.weighted_degrees.argtypes = [i64p, f32p, i64, i64, f64p]
+    lib.weighted_degrees.restype = ctypes.c_int
+    lib.scale_sym_norm.argtypes = [i64p, i64p, f32p, i64, f64p]
+    lib.scale_sym_norm.restype = ctypes.c_int
+    lib.partition_count.argtypes = [i64p, i64, i64, i64, i64p]
+    lib.partition_count.restype = ctypes.c_int
+    lib.partition_fill.argtypes = [
+        i64p, i64p, f32p, i64, i64, i64, i64, i32p, i32p, f32p,
+    ]
+    lib.partition_fill.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _p(a, t):
+    return a.ctypes.data_as(t)
+
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_F32P = ctypes.POINTER(ctypes.c_float)
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def sort_edges(rows, cols, vals, n_rows: int, n_cols: int):
+    """Sort COO edges by (row, col). Returns (rows, cols, vals) int64/f32."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    lib = _try_load()
+    if lib is not None:
+        lib.sort_edges_by_row_col(
+            _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P),
+            len(rows), n_rows, n_cols,
+        )
+        return rows, cols, vals
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order], vals[order]
+
+
+def row_ptr_from_sorted(rows, n_rows: int):
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lib = _try_load()
+    out = np.zeros(n_rows + 1, dtype=np.int64)
+    if lib is not None:
+        lib.build_row_ptr(_p(rows, _I64P), len(rows), n_rows, _p(out, _I64P))
+        return out
+    np.add.at(out, rows + 1, 1)
+    return np.cumsum(out)
+
+
+def coalesce(rows, cols, vals):
+    """Sum duplicates in a (row, col)-sorted edge list."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    lib = _try_load()
+    if lib is not None:
+        n = lib.coalesce_sorted(
+            _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P), len(rows)
+        )
+        return rows[:n].copy(), cols[:n].copy(), vals[:n].copy()
+    if len(rows) == 0:
+        return rows, cols, vals
+    key_change = np.empty(len(rows), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    group = np.cumsum(key_change) - 1
+    out_vals = np.zeros(group[-1] + 1, dtype=np.float32)
+    np.add.at(out_vals, group, vals)
+    return rows[key_change], cols[key_change], out_vals
+
+
+def sym_normalize_edges(rows, cols, vals, n_rows: int):
+    """In-place d^-1/2 A d^-1/2 scaling given weighted row degrees of A."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    lib = _try_load()
+    deg = np.zeros(n_rows, dtype=np.float64)
+    if lib is not None:
+        lib.weighted_degrees(
+            _p(rows, _I64P), _p(vals, _F32P), len(rows), n_rows, _p(deg, _F64P)
+        )
+    else:
+        np.add.at(deg, rows, vals.astype(np.float64))
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    if lib is not None:
+        lib.scale_sym_norm(
+            _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P), len(rows),
+            _p(dinv, _F64P),
+        )
+    else:
+        vals = (vals * dinv[rows] * dinv[cols]).astype(np.float32)
+    return rows, cols, vals
+
+
+def partition_edges(rows, cols, vals, n_parts: int, rows_per_part: int,
+                    e_max: int, n_cols: int):
+    """Scatter row-sorted edges into the padded [n_parts, e_max] layout."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    p_rows = np.full((n_parts, e_max), rows_per_part - 1, dtype=np.int32)
+    p_cols = np.full((n_parts, e_max), max(n_cols - 1, 0), dtype=np.int32)
+    p_vals = np.zeros((n_parts, e_max), dtype=np.float32)
+    lib = _try_load()
+    if lib is not None:
+        lib.partition_fill(
+            _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P), len(rows),
+            n_parts, rows_per_part, e_max,
+            _p(p_rows, _I32P), _p(p_cols, _I32P), _p(p_vals, _F32P),
+        )
+        return p_rows, p_cols, p_vals
+    part = np.minimum(rows // rows_per_part, n_parts - 1)
+    for p in range(n_parts):
+        sel = part == p
+        k = int(sel.sum())
+        p_rows[p, :k] = rows[sel] - p * rows_per_part
+        p_cols[p, :k] = cols[sel]
+        p_vals[p, :k] = vals[sel]
+    return p_rows, p_cols, p_vals
+
+
+def edge_counts(rows, n_parts: int, rows_per_part: int):
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lib = _try_load()
+    if lib is not None:
+        out = np.zeros(n_parts, dtype=np.int64)
+        lib.partition_count(
+            _p(rows, _I64P), len(rows), n_parts, rows_per_part, _p(out, _I64P)
+        )
+        return out
+    part = np.minimum(rows // rows_per_part, n_parts - 1)
+    return np.bincount(part, minlength=n_parts).astype(np.int64)

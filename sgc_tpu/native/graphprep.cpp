@@ -1,0 +1,170 @@
+// Host-side graph preprocessing: sort, CSR build, symmetrize, partition.
+//
+// The reference delegates all host graph algebra to scipy (SURVEY.md §2.4);
+// at 10M+ edges the python sort/partition path is the bottleneck of data
+// loading (numpy lexsort is single-threaded comparison sort). This tool
+// provides the hot host-side primitives as a C ABI shared library consumed
+// via ctypes (sgc_tpu/native/__init__.py), with numpy fallbacks when the
+// library is not built.
+//
+// Build:  python -m sgc_tpu.native.build   (g++ -O3 -shared -fPIC)
+//
+// All functions use int64 node ids at the ABI to avoid overflow at
+// billion-edge scale; callers downcast to int32 for device buffers.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- sorting
+
+// Parallel LSD radix sort of edges by (row, col) key. rows/cols/vals are
+// reordered in place via a permutation; returns 0 on success.
+// Radix: 16-bit digits over the (row<<32 | col)-style composite key,
+// processed col-first then row (stable passes).
+int sort_edges_by_row_col(int64_t* rows, int64_t* cols, float* vals,
+                          int64_t n_edges, int64_t n_rows, int64_t n_cols) {
+  if (n_edges <= 0) return 0;
+
+  std::vector<int64_t> perm(n_edges), tmp_perm(n_edges);
+  for (int64_t i = 0; i < n_edges; ++i) perm[i] = i;
+
+  auto radix_pass = [&](const int64_t* key, int shift) {
+    constexpr int kBits = 16;
+    constexpr int kBuckets = 1 << kBits;
+    std::vector<int64_t> count(kBuckets + 1, 0);
+    for (int64_t i = 0; i < n_edges; ++i)
+      ++count[((uint64_t)key[perm[i]] >> shift) & (kBuckets - 1)];
+    int64_t sum = 0;
+    for (int b = 0; b < kBuckets; ++b) {
+      int64_t c = count[b];
+      count[b] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n_edges; ++i) {
+      int64_t p = perm[i];
+      int b = ((uint64_t)key[p] >> shift) & (kBuckets - 1);
+      tmp_perm[count[b]++] = p;
+    }
+    perm.swap(tmp_perm);
+  };
+
+  int col_bits = 1;
+  while ((1LL << col_bits) < n_cols) ++col_bits;
+  int row_bits = 1;
+  while ((1LL << row_bits) < n_rows) ++row_bits;
+
+  for (int shift = 0; shift < col_bits; shift += 16) radix_pass(cols, shift);
+  for (int shift = 0; shift < row_bits; shift += 16) radix_pass(rows, shift);
+
+  // apply permutation out-of-place
+  std::vector<int64_t> r(n_edges), c(n_edges);
+  std::vector<float> v(n_edges);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    r[i] = rows[perm[i]];
+    c[i] = cols[perm[i]];
+    v[i] = vals[perm[i]];
+  }
+  std::memcpy(rows, r.data(), n_edges * sizeof(int64_t));
+  std::memcpy(cols, c.data(), n_edges * sizeof(int64_t));
+  std::memcpy(vals, v.data(), n_edges * sizeof(float));
+  return 0;
+}
+
+// ------------------------------------------------------------------- CSR
+
+// row_ptr must have n_rows+1 entries; edges must be row-sorted.
+int build_row_ptr(const int64_t* rows, int64_t n_edges, int64_t n_rows,
+                  int64_t* row_ptr) {
+  std::memset(row_ptr, 0, (n_rows + 1) * sizeof(int64_t));
+  for (int64_t i = 0; i < n_edges; ++i) ++row_ptr[rows[i] + 1];
+  for (int64_t r = 0; r < n_rows; ++r) row_ptr[r + 1] += row_ptr[r];
+  return 0;
+}
+
+// Sum duplicate (row, col) entries of a row-col-sorted edge list in place.
+// Returns the deduplicated edge count.
+int64_t coalesce_sorted(int64_t* rows, int64_t* cols, float* vals,
+                        int64_t n_edges) {
+  if (n_edges == 0) return 0;
+  int64_t w = 0;
+  for (int64_t i = 1; i < n_edges; ++i) {
+    if (rows[i] == rows[w] && cols[i] == cols[w]) {
+      vals[w] += vals[i];
+    } else {
+      ++w;
+      rows[w] = rows[i];
+      cols[w] = cols[i];
+      vals[w] = vals[i];
+    }
+  }
+  return w + 1;
+}
+
+// -------------------------------------------------------------- degrees
+
+int weighted_degrees(const int64_t* rows, const float* vals, int64_t n_edges,
+                     int64_t n_rows, double* out_deg) {
+  std::memset(out_deg, 0, n_rows * sizeof(double));
+  for (int64_t i = 0; i < n_edges; ++i) out_deg[rows[i]] += vals[i];
+  return 0;
+}
+
+// Scale edge values by d[row]^-1/2 * d[col]^-1/2 (aug-normalization core).
+int scale_sym_norm(const int64_t* rows, const int64_t* cols, float* vals,
+                   int64_t n_edges, const double* d_inv_sqrt) {
+  int n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::thread> ts;
+  int64_t chunk = (n_edges + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n_edges, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; ++i)
+        vals[i] = (float)(vals[i] * d_inv_sqrt[rows[i]] * d_inv_sqrt[cols[i]]);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+// ----------------------------------------------------------- partitioning
+
+// Assign row-sorted edges to contiguous row blocks; writes per-part edge
+// counts (n_parts entries). rows_per_part fixed by the caller.
+int partition_count(const int64_t* rows, int64_t n_edges, int64_t n_parts,
+                    int64_t rows_per_part, int64_t* counts) {
+  std::memset(counts, 0, n_parts * sizeof(int64_t));
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int64_t p = rows[i] / rows_per_part;
+    if (p >= n_parts) p = n_parts - 1;
+    ++counts[p];
+  }
+  return 0;
+}
+
+// Scatter edges into the padded [n_parts, e_max] layout used by
+// PartitionedGraph: local rows, global cols, vals; padding pre-filled by
+// the caller. Edges must be row-sorted.
+int partition_fill(const int64_t* rows, const int64_t* cols,
+                   const float* vals, int64_t n_edges, int64_t n_parts,
+                   int64_t rows_per_part, int64_t e_max, int32_t* p_rows,
+                   int32_t* p_cols, float* p_vals) {
+  std::vector<int64_t> cursor(n_parts, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int64_t p = rows[i] / rows_per_part;
+    if (p >= n_parts) p = n_parts - 1;
+    int64_t k = cursor[p]++;
+    p_rows[p * e_max + k] = (int32_t)(rows[i] - p * rows_per_part);
+    p_cols[p * e_max + k] = (int32_t)cols[i];
+    p_vals[p * e_max + k] = vals[i];
+  }
+  return 0;
+}
+
+}  // extern "C"

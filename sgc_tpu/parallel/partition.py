@@ -82,25 +82,19 @@ def partition_graph(
     ``row_align`` sublanes); per-part edge lists are padded to the max part
     size rounded up to ``edge_pad``.
     """
+    from sgc_tpu import native
+
     rows = np.asarray(graph.rows)[: graph.nnz]
     cols = np.asarray(graph.cols)[: graph.nnz]
     vals = np.asarray(graph.vals)[: graph.nnz]
 
     rows_per_part = _round_up(-(-graph.n_rows // n_parts), row_align)
 
-    part_of_edge = np.minimum(rows // rows_per_part, n_parts - 1)
-    counts = np.bincount(part_of_edge, minlength=n_parts)
+    counts = native.edge_counts(rows, n_parts, rows_per_part)
     e_max = _round_up(int(counts.max()) if counts.size else 0, edge_pad)
-
-    p_rows = np.full((n_parts, e_max), rows_per_part - 1, dtype=np.int32)
-    p_cols = np.full((n_parts, e_max), max(graph.n_cols - 1, 0), dtype=np.int32)
-    p_vals = np.zeros((n_parts, e_max), dtype=np.float32)
-    for p in range(n_parts):
-        sel = part_of_edge == p
-        k = int(sel.sum())
-        p_rows[p, :k] = rows[sel] - p * rows_per_part
-        p_cols[p, :k] = cols[sel]
-        p_vals[p, :k] = vals[sel]
+    p_rows, p_cols, p_vals = native.partition_edges(
+        rows, cols, vals, n_parts, rows_per_part, e_max, graph.n_cols
+    )
 
     return PartitionedGraph(
         rows_local=jnp.asarray(p_rows),
