@@ -1,20 +1,25 @@
 """Headline benchmark: Reddit-scale SGC (precompute K=2 + LBFGS train).
 
-Baseline: the reference trains SGC on Reddit (233K nodes, ~11.6M directed
-edges after symmetrization) in 2.7 s on a GTX 1080 Ti — precompute (two
-cuSPARSE SpMM hops) + 2 LBFGS epochs (reference README.md:34, reddit.py).
+Baseline: the reference trains SGC on Reddit (233K nodes, ~11.6M
+undirected edges) in 2.7 s on a GTX 1080 Ti — two cuSPARSE SpMM hops + 2
+LBFGS epochs (reference README.md:34, reddit.py:43-64).
 
-This bench runs the same pipeline on TPU via sgc_tpu. If the real Reddit
-npz files are present (SGC_TPU_DATA or /root/reference/data) it uses them;
-otherwise it builds a synthetic graph with Reddit's exact dimensions
-(232,965 nodes / 11,606,919 undirected edges / 602 features / 41 classes,
-152,410 train rows) so the timed work is identical.
+This bench runs the same pipeline via sgc_tpu on the available device. If
+the real Reddit npz files are present (SGC_TPU_DATA or
+/root/reference/data) it uses them; otherwise it builds a synthetic graph
+with Reddit's exact dimensions (232,965 nodes / 11,606,919 edges / 602
+features / 41 classes / 152,410 train rows) so the timed work is
+identical.
+
+Timing note: on the tunneled TPU backend ``block_until_ready`` can return
+before execution finishes, so the timed region is closed by fetching a
+scalar checksum (sgc_tpu.utils.profiling.sync) — the honest wall-clock.
 
 Prints ONE JSON line:
   {"metric": "reddit_sgc_precompute_train_s", "value": <seconds>,
    "unit": "s", "vs_baseline": <2.7 / seconds>}
-
 vs_baseline > 1 means faster than the reference GPU number.
+
 Env: SGC_BENCH_SCALE=<float> shrinks the synthetic problem for smoke runs.
 """
 
@@ -30,7 +35,7 @@ import numpy as np
 BASELINE_SECONDS = 2.7  # reference README.md:34 (GTX 1080 Ti)
 
 REDDIT_NODES = 232_965
-REDDIT_EDGES = 11_606_919  # nnz of adj + adj.T in the reference pipeline
+REDDIT_EDGES = 11_606_919
 REDDIT_FEATURES = 602
 REDDIT_CLASSES = 41
 REDDIT_TRAIN = 152_410
@@ -41,7 +46,6 @@ def log(msg: str) -> None:
 
 
 def synthetic_reddit(scale: float):
-    """Reddit-shaped synthetic data: graph, features, labels, train ids."""
     import scipy.sparse as sp
 
     from sgc_tpu.graph.normalize import aug_normalized_adjacency
@@ -49,11 +53,9 @@ def synthetic_reddit(scale: float):
 
     n = max(int(REDDIT_NODES * scale), 1024)
     e = max(int(REDDIT_EDGES * scale), 4096)
-    f = REDDIT_FEATURES
     rng = np.random.default_rng(42)
 
-    log(f"building synthetic reddit: {n} nodes, ~{e} edges, {f} features")
-    # Undirected edges with mild degree skew (power-ish via squaring).
+    log(f"building synthetic reddit: {n} nodes, ~{e} edges")
     src = (rng.random(e // 2) ** 2 * n).astype(np.int64) % n
     dst = rng.integers(0, n, e // 2)
     adj = sp.coo_matrix(
@@ -62,19 +64,22 @@ def synthetic_reddit(scale: float):
     adj = adj + adj.T
     graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
 
-    features = rng.normal(size=(n, f)).astype(np.float32)
+    features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
     labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
-    idx_train = np.arange(int(REDDIT_TRAIN * min(scale, 1.0)) % n or n // 2)
-    return graph, features, labels, idx_train, None
+    n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
+    return graph, features, labels, np.arange(n_train)
 
 
 def real_reddit():
     from sgc_tpu.data.reddit import load_reddit
 
     d = load_reddit("AugNormAdj")
-    return d.graph, np.asarray(d.features), np.asarray(d.labels), np.asarray(
-        d.idx_train
-    ), d
+    return (
+        d.graph,
+        np.asarray(d.features),
+        np.asarray(d.labels),
+        np.asarray(d.idx_train),
+    )
 
 
 def reddit_available() -> bool:
@@ -89,52 +94,62 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sgc_tpu.models.sgc import init_sgc
-    from sgc_tpu.ops.propagate import sgc_precompute
-    from sgc_tpu.train.loops import train_linear
+    from sgc_tpu.ops.spmm import spmm
+    from sgc_tpu.train.loops import _lbfgs_linear_fit
+    from sgc_tpu.utils.profiling import sync
 
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     if reddit_available() and scale >= 1.0:
         log("using real Reddit data")
-        graph, features, labels, idx_train, _ = real_reddit()
+        graph, features, labels, idx_train = real_reddit()
     else:
-        graph, features, labels, idx_train, _ = synthetic_reddit(scale)
+        graph, features, labels, idx_train = synthetic_reddit(scale)
 
     features = jnp.asarray(features)
     labels_train = jnp.asarray(labels[idx_train])
-
-    # --- timed region: K=2 propagation + LBFGS(2 epochs) head fit, the
-    # exact work the reference times at 2.7 s (reddit.py:43-64). Compile
-    # happens inside sgc_precompute/train_linear's pre-lowering where
-    # possible; first train_linear call includes trace time, so warm it on
-    # a tiny slice first.
-    params0 = init_sgc(
-        jax.random.PRNGKey(42), features.shape[1], int(labels.max()) + 1,
-        bias=True,
-    )
-    # Warm the LBFGS compile cache with the REAL training shapes (the
-    # reference's 2.7 s excludes cuSPARSE/cuBLAS kernel compilation too).
-    warm_x = jnp.zeros((len(idx_train), features.shape[1]), jnp.float32)
-    warm_y = jnp.zeros((len(idx_train),), jnp.int32)
-    train_linear(params0, warm_x, warm_y, weight_decay=0.0, epochs=2, lr=1.0)
-    gather = jax.jit(lambda p, i: p[i])
     idx_train_dev = jnp.asarray(idx_train)
-    gather(jnp.zeros_like(features), idx_train_dev).block_until_ready()
-    sgc_precompute(jnp.zeros_like(features), graph, degree=2)
+    n_classes = int(labels.max()) + 1
+
+    @jax.jit
+    def precompute_and_slice(x, g, idx):
+        for _ in range(2):
+            x = spmm(g, x, impl="segment")
+        return x[idx]
+
+    params0 = init_sgc(
+        jax.random.PRNGKey(42), features.shape[1], n_classes, bias=True
+    )
+    wd = jnp.asarray(0.0, jnp.float32)
+    cw = jnp.ones((n_classes,), jnp.float32)
+
+    # Warm both programs with the real shapes (the reference's 2.7 s
+    # excludes CUDA kernel compilation too).
+    tr = precompute_and_slice(features, graph, idx_train_dev)
+    sync(tr)
+    p, _ = _lbfgs_linear_fit(
+        params0, tr, labels_train, wd, cw, 2, False, False, 1.0
+    )
+    sync(p)
 
     t0 = time.perf_counter()
-    propagated, t_pre = sgc_precompute(features, graph, degree=2)
-    train_x = gather(propagated, idx_train_dev)
-    params, t_train = train_linear(
-        params0, train_x, labels_train, weight_decay=0.0, epochs=2, lr=1.0
+    tr = precompute_and_slice(features, graph, idx_train_dev)
+    params, _ = _lbfgs_linear_fit(
+        params0, tr, labels_train, wd, cw, 2, False, False, 1.0
     )
-    jax.block_until_ready(params)
+    sync(params)
     total = time.perf_counter() - t0
 
-    log(f"precompute: {t_pre:.3f}s  train: {t_train:.3f}s  total: {total:.3f}s")
-    edges_per_s = 2 * graph.nnz / t_pre if t_pre > 0 else 0.0
-    log(f"spmm throughput: {edges_per_s/1e6:.1f} M edges/s ({graph.nnz} nnz x 2 hops)")
+    # sub-timings (separately synced, so they add up to >= total)
+    t0 = time.perf_counter()
+    tr = precompute_and_slice(features, graph, idx_train_dev)
+    sync(tr)
+    t_pre = time.perf_counter() - t0
+    log(
+        f"precompute+slice: {t_pre:.3f}s  "
+        f"({2 * graph.nnz / t_pre / 1e6:.0f} M edges/s)  total: {total:.3f}s"
+    )
 
     print(
         json.dumps(

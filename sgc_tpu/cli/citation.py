@@ -27,23 +27,39 @@ def run(cfg: CitationConfig, data_path: str | None = None) -> dict:
     key = set_seed(cfg.seed)
     data = load_citation(cfg.dataset, cfg.normalization, data_path)
 
-    init_fn, _ = get_model(cfg.model)
-    if cfg.model != "SGC":
-        raise NotImplementedError("citation CLI currently trains SGC only")
-    params = init_fn(key, data.features.shape[1], data.n_classes)
+    init_fn, apply_fn = get_model(cfg.model)
 
-    features, precompute_time = sgc_precompute(data.features, data.graph, cfg.degree)
+    if cfg.model == "SGC":
+        params = init_fn(key, data.features.shape[1], data.n_classes)
+        features, precompute_time = sgc_precompute(
+            data.features, data.graph, cfg.degree
+        )
+        train_x = features[data.idx_train]
+        train_y = data.labels[data.idx_train]
+        params, train_time = train_regression(
+            params, train_x, train_y, cfg.epochs, cfg.weight_decay, cfg.lr
+        )
+        logits_val = sgc_apply(params, features[data.idx_val])
+        logits_test = sgc_apply(params, features[data.idx_test])
+    else:  # GCN: propagation inside the model, no precompute
+        from sgc_tpu.models.gcn import gcn_apply
+        from sgc_tpu.train.loops import train_gcn
 
-    train_x = features[data.idx_train]
-    train_y = data.labels[data.idx_train]
-    params, train_time = train_regression(
-        params, train_x, train_y, cfg.epochs, cfg.weight_decay, cfg.lr
-    )
+        hidden = cfg.hidden or 16
+        params = init_fn(key, data.features.shape[1], hidden, data.n_classes)
+        precompute_time = 0.0
+        params, train_time = train_gcn(
+            params, data.features, data.graph,
+            jnp.asarray(data.idx_train), data.labels[data.idx_train],
+            epochs=cfg.epochs, weight_decay=cfg.weight_decay, lr=cfg.lr,
+            dropout=cfg.dropout, seed=cfg.seed,
+        )
+        logits = gcn_apply(params, data.features, data.graph)
+        logits_val = logits[data.idx_val]
+        logits_test = logits[data.idx_test]
 
-    acc_val = accuracy(sgc_apply(params, features[data.idx_val]), data.labels[data.idx_val])
-    acc_test = accuracy(
-        sgc_apply(params, features[data.idx_test]), data.labels[data.idx_test]
-    )
+    acc_val = accuracy(logits_val, data.labels[data.idx_val])
+    acc_test = accuracy(logits_test, data.labels[data.idx_test])
     return {
         "val_accuracy": acc_val,
         "test_accuracy": acc_test,

@@ -66,9 +66,11 @@ def sgc_precompute(
     # Warm the compilation cache outside the timed region: the reference
     # times cuSPARSE execution, not nvcc.
     propagate.lower(features, graph, degree, impl).compile()
+    from sgc_tpu.utils.profiling import sync
+
     t = perf_counter()
     out = propagate(features, graph, degree, impl)
-    out.block_until_ready()
+    sync(out)
     return out, perf_counter() - t
 
 
@@ -166,7 +168,9 @@ def text_structural_features(
             )
             for phase, idx in index_dict.items()
         }
+    from sgc_tpu.utils.profiling import sync
+
     stats = fit_minmax(per_phase["train"])
     feat_dict = {p: apply_minmax(stats, f) for p, f in per_phase.items()}
-    jax.block_until_ready(feat_dict)
+    sync(feat_dict)
     return feat_dict, perf_counter() - t

@@ -88,9 +88,11 @@ def train_regression(
         params, train_features, train_labels, lr, weight_decay, epochs
     )
     compiled = lowered.compile()
+    from sgc_tpu.utils.profiling import sync
+
     t = perf_counter()
     params, losses = compiled(params, train_features, train_labels)
-    jax.block_until_ready(params)
+    sync(params)
     return params, perf_counter() - t
 
 
@@ -147,7 +149,63 @@ def train_linear(
         params, train_features, train_labels, wd, class_weights,
         epochs, binary, weighted, lr,
     )
-    jax.block_until_ready(params)
+    from sgc_tpu.utils.profiling import sync
+
+    sync(params)
+    return params, perf_counter() - t
+
+
+def train_gcn(
+    params,
+    features: jnp.ndarray,
+    graph,
+    train_idx: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    epochs: int = 100,
+    weight_decay: float = 5e-6,
+    lr: float = 0.01,
+    dropout: float = 0.5,
+    seed: int = 42,
+):
+    """Full-batch GCN training: Adam + CE on train rows, dropout per epoch.
+
+    The graph propagation runs inside every step (GCN has no precompute
+    factorization); the whole epoch loop is one jitted lax.scan program.
+    """
+    from sgc_tpu.models.gcn import gcn_apply
+
+    tx = torch_adam(lr, weight_decay)
+
+    @partial(jax.jit, static_argnames=("epochs", "dropout"))
+    def fit(params, features, graph, train_idx, train_labels, key,
+            epochs, dropout):
+        opt_state = tx.init(params)
+
+        def loss_fn(p, dkey):
+            logits = gcn_apply(
+                p, features, graph, dropout_rate=dropout, dropout_key=dkey
+            )
+            return cross_entropy(logits[train_idx], train_labels)
+
+        def step(carry, dkey):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, dkey)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        keys = jax.random.split(key, epochs)
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, losses
+
+    from sgc_tpu.utils.profiling import sync
+
+    key = jax.random.PRNGKey(seed)
+    t = perf_counter()
+    params, losses = fit(
+        params, features, graph, train_idx, train_labels, key, epochs, dropout
+    )
+    sync(params)
     return params, perf_counter() - t
 
 

