@@ -38,7 +38,9 @@ def _local_spmm(rows_local, cols, vals, x_full, rows_per_part):
     )
 
 
-def spmm_sharded(mesh, pgraph: PartitionedGraph, x: jnp.ndarray) -> jnp.ndarray:
+def spmm_sharded(
+    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, halo=None
+) -> jnp.ndarray:
     """One sharded SpMM hop: returns S @ x with the same sharding as x.
 
     Args:
@@ -46,11 +48,39 @@ def spmm_sharded(mesh, pgraph: PartitionedGraph, x: jnp.ndarray) -> jnp.ndarray:
       pgraph: row-block partitioned S; n_parts must equal the "nodes" axis.
       x:      float[N_pad, F] node features, N_pad = pgraph.n_rows_padded.
               Sharded (or shardable) as P("nodes", "feat").
+      halo:   optional HaloDescriptor (parallel.halo.build_halo) — exchange
+              only boundary rows via all_to_all instead of the full
+              all-gather. Wins when halo_fraction(halo, pgraph) < 1.
     """
     if pgraph.n_parts != mesh.shape[NODES_AXIS]:
         raise ValueError(
             f"graph has {pgraph.n_parts} parts, mesh nodes axis is "
             f"{mesh.shape[NODES_AXIS]}"
+        )
+
+    edge_spec = P(NODES_AXIS, None)
+
+    if halo is not None:
+        from sgc_tpu.parallel.halo import exchange_and_spmm
+
+        def body_halo(rows_l, cols_h, vals, send_idx, x_local):
+            return exchange_and_spmm(
+                rows_l[0], cols_h[0], vals[0], send_idx[0],
+                x_local, pgraph.rows_per_part,
+            )
+
+        fn = shard_map(
+            body_halo,
+            mesh=mesh,
+            in_specs=(
+                edge_spec, edge_spec, edge_spec,
+                P(NODES_AXIS, None, None),
+                P(NODES_AXIS, FEAT_AXIS),
+            ),
+            out_specs=P(NODES_AXIS, FEAT_AXIS),
+        )
+        return fn(
+            pgraph.rows_local, halo.cols_halo, pgraph.vals, halo.send_idx, x
         )
 
     def body(rows_l, cols, vals, x_local):
@@ -60,7 +90,6 @@ def spmm_sharded(mesh, pgraph: PartitionedGraph, x: jnp.ndarray) -> jnp.ndarray:
             rows_l[0], cols[0], vals[0], x_full, pgraph.rows_per_part
         )
 
-    edge_spec = P(NODES_AXIS, None)
     fn = shard_map(
         body,
         mesh=mesh,
@@ -71,11 +100,11 @@ def spmm_sharded(mesh, pgraph: PartitionedGraph, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def propagate_sharded(
-    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int
+    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None
 ) -> jnp.ndarray:
     """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static."""
     for _ in range(degree):
-        x = spmm_sharded(mesh, pgraph, x)
+        x = spmm_sharded(mesh, pgraph, x, halo=halo)
     return x
 
 

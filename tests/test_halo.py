@@ -1,0 +1,84 @@
+"""Halo-exchange SpMM: parity with all-gather exchange and scipy."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.parallel import make_mesh, partition_graph, spmm_sharded
+from sgc_tpu.parallel.halo import build_halo, halo_fraction
+from sgc_tpu.parallel.partition import pad_feature_dim, pad_node_rows
+from sgc_tpu.parallel.spmm import propagate_sharded, shard_features
+
+
+def _block_diag_graph(n_blocks=4, block=24, cross=10, seed=0):
+    """Mostly block-diagonal graph -> small halos."""
+    rng = np.random.default_rng(seed)
+    n = n_blocks * block
+    rows, cols = [], []
+    for b in range(n_blocks):
+        r = rng.integers(0, block, block * 6) + b * block
+        c = rng.integers(0, block, block * 6) + b * block
+        rows.append(r)
+        cols.append(c)
+    rows.append(rng.integers(0, n, cross))
+    cols.append(rng.integers(0, n, cross))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    a = sp.coo_matrix((rng.random(len(r)).astype(np.float32), (r, c)),
+                      shape=(n, n))
+    return a.tocsr().tocoo()
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 2)])
+def test_halo_matches_allgather_and_scipy(mesh_shape):
+    np_parts, pf = mesh_shape
+    a = _block_diag_graph()
+    g = SparseGraph.from_scipy(a)
+    mesh = make_mesh(np_parts, pf)
+    pg = partition_graph(g, np_parts)
+    halo = build_halo(pg)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(a.shape[0], 16)).astype(np.float32)
+    xp = pad_node_rows(pad_feature_dim(jnp.asarray(x), 8 * pf), pg.n_rows_padded)
+    xs = shard_features(mesh, xp)
+
+    out_ag = np.asarray(spmm_sharded(mesh, pg, xs))
+    out_halo = np.asarray(spmm_sharded(mesh, pg, xs, halo=halo))
+    np.testing.assert_allclose(out_halo, out_ag, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        out_halo[: a.shape[0], :16], a @ x, rtol=1e-4, atol=1e-5
+    )
+
+    # two hops through the halo path
+    out2 = np.asarray(propagate_sharded(mesh, pg, xs, 2, halo=halo))
+    np.testing.assert_allclose(
+        out2[: a.shape[0], :16], a @ (a @ x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_halo_fraction_small_for_block_diagonal():
+    a = _block_diag_graph(n_blocks=4, block=64, cross=8)
+    g = SparseGraph.from_scipy(a)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg)
+    # each part mostly references its own block: exchanged rows should be
+    # far fewer than a full all-gather
+    assert halo_fraction(halo, pg) < 0.6
+
+
+def test_halo_random_graph_parity():
+    """Even for a random (worst-case halo) graph the math must hold."""
+    rng = np.random.default_rng(3)
+    a = sp.random(100, 100, density=0.08, random_state=3, format="coo")
+    g = SparseGraph.from_scipy(a)
+    mesh = make_mesh(4, 1)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg)
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    xp = pad_node_rows(pad_feature_dim(jnp.asarray(x), 8), pg.n_rows_padded)
+    xs = shard_features(mesh, xp)
+    out = np.asarray(spmm_sharded(mesh, pg, xs, halo=halo))
+    np.testing.assert_allclose(out[:100, :8], a @ x, rtol=1e-4, atol=1e-5)
