@@ -12,3 +12,17 @@ __all__ = [
     "get_model",
     "register_model",
 ]
+
+from sgc_tpu.models.transformer import (  # noqa: F401
+    TransformerConfig,
+    TransformerParams,
+    init_transformer,
+    transformer_apply,
+)
+
+__all__ += [
+    "TransformerConfig",
+    "TransformerParams",
+    "init_transformer",
+    "transformer_apply",
+]

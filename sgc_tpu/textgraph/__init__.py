@@ -15,3 +15,10 @@ instead of the reference's python Counter loops.
 
 from sgc_tpu.textgraph.clean import clean_corpus  # noqa: F401
 from sgc_tpu.textgraph.graph import TextGraphBuilder, build_text_graph  # noqa: F401
+from sgc_tpu.textgraph.embedding import (  # noqa: F401
+    WordEmbedder,
+    EmbedderConfig,
+    load_embedding_map,
+    save_embedding_map,
+)
+from sgc_tpu.textgraph.word2vec import Word2Vec, Word2VecConfig  # noqa: F401

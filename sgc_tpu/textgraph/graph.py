@@ -325,9 +325,9 @@ class TextGraphBuilder:
         val_ids = tv[len(tv) - val_size :]
 
         index_dict = {
-            "train": np.asarray(train_ids),
-            "val": np.asarray(val_ids),
-            "test": np.asarray(te),
+            "train": np.asarray(train_ids, dtype=np.int64),
+            "val": np.asarray(val_ids, dtype=np.int64),
+            "test": np.asarray(te, dtype=np.int64),
         }
         label_dict = {
             p: all_labels[idx] for p, idx in index_dict.items()
