@@ -1,0 +1,134 @@
+"""End-to-end offline pipeline: clean -> build_graph CLI -> textsgc train.
+
+Exercises the artifact contract between the graph-build export and
+load_corpus (the reference's build_graph.py -> train.py handoff).
+"""
+
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def tiny_corpus(tmp_path):
+    """Synthetic 2-class corpus with strongly class-specific vocabulary."""
+    rng = np.random.default_rng(0)
+    words = {
+        "sci": ["enzyme", "protein", "membrane", "cell", "viral"],
+        "fin": ["market", "stock", "profit", "trade", "asset"],
+    }
+    meta_lines, docs = [], []
+    for i in range(40):
+        label = "sci" if i % 2 == 0 else "fin"
+        phase = "train" if i < 30 else "test"
+        meta_lines.append(f"doc{i}\t{phase}\t{label}")
+        docs.append(" ".join(rng.choice(words[label], 12)))
+    meta = tmp_path / "tiny.txt"
+    corpus = tmp_path / "tiny.clean.txt"
+    meta.write_text("\n".join(meta_lines))
+    corpus.write_text("\n".join(docs))
+    return meta, corpus, tmp_path
+
+
+def test_build_graph_cli_exports_loadable_dataset(tiny_corpus):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.data.textcorpus import load_corpus
+
+    built = build_and_export(
+        str(meta), str(corpus), "tiny", str(out), window=5, val_fraction=0.2
+    )
+    for subset in ("B", "BC", "BD", "BCD"):
+        assert (out / f"ind.tiny.{subset}.adj").exists()
+
+    data = load_corpus("tiny", subset="BCD", data_path=str(out))
+    assert data.n_classes == 2
+    # doc nodes first, then word nodes
+    assert data.n_nodes == 40 + len(built["vocab"])
+    assert len(data.index_dict["train"]) + len(data.index_dict["val"]) == 30
+    assert len(data.index_dict["test"]) == 10
+
+
+def test_textsgc_train_on_built_graph(tiny_corpus):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.cli.textsgc import run
+    from sgc_tpu.utils.config import TextConfig
+
+    build_and_export(
+        str(meta), str(corpus), "tiny", str(out), window=5, val_fraction=0.2
+    )
+    res = run(
+        TextConfig(dataset="tiny", epochs=3, weight_decay=0.0, degree=2),
+        subset="BCD",
+        data_path=str(out),
+    )
+    # fully class-separable vocabulary: near-perfect accuracy expected
+    assert res["test_accuracy"] > 0.9
+
+
+def test_build_graph_with_embeddings_and_chi2(tiny_corpus):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.textgraph.embedding import hash_embedding, save_embedding_map
+
+    # build embedding map covering the corpus vocabulary
+    vocab = sorted(set(corpus.read_text().split()))
+    save_embedding_map(
+        out / "emb.npz", {w: hash_embedding(w, 16) for w in vocab}
+    )
+    built = build_and_export(
+        str(meta), str(corpus), "tiny2", str(out), window=5,
+        p_value=0.9, max_features=8, embeddings=str(out / "emb.npz"),
+        pivoted=True,
+    )
+    assert len(built["vocab"]) <= 8          # chi2 cap applied
+    assert built["adjs"]["BCD"].nnz > 0
+
+
+def test_word2vec_cli(tiny_corpus, monkeypatch, capsys):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.word2vec import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "word2vec", "--corpus", str(corpus), "--dim", "8", "--epochs", "1",
+        "--neighbors", "2", "--out", str(out / "w2v"),
+    ])
+    main()
+    assert (out / "w2v.tsv").exists()
+    assert (out / "w2v.npz").exists()
+    assert (out / "w2v.neighbors.txt").exists()
+    assert "trained w2v" in capsys.readouterr().out
+
+
+def test_embedding_cli_hash_backend(tiny_corpus, monkeypatch, capsys):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.embedding import main
+    from sgc_tpu.textgraph.embedding import load_embedding_map
+
+    vocab_file = out / "vocab.pkl"
+    with open(vocab_file, "wb") as f:
+        pickle.dump(["enzyme", "market", "cell"], f)
+    monkeypatch.setattr(sys, "argv", [
+        "embedding", "--vocab", str(vocab_file), "--backend", "hash",
+        "--out", str(out / "e.npz"),
+    ])
+    main()
+    table = load_embedding_map(out / "e.npz")
+    assert set(table) == {"enzyme", "market", "cell"}
+
+
+def test_sequence_cli_runs(tiny_corpus, monkeypatch, capsys):
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.sequence import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "sequence", "--metadata", str(meta), "--corpus", str(corpus),
+        "--epochs", "2", "--dim", "32", "--heads", "2", "--layers", "1",
+        "--max_len", "16", "--lr", "1e-3", "--batch_size", "8",
+    ])
+    main()
+    outtext = capsys.readouterr().out
+    assert "Test accuracy" in outtext
