@@ -1,0 +1,405 @@
+"""Pallas TPU SpMM kernel: tiled sparse (adjacency) x dense (features).
+
+The reference delegates SpMM to cuSPARSE (``torch.spmm``, reference
+utils.py:95). This kernel is the TPU-native equivalent, built for the
+hardware rather than translated: the irregular gather/scatter of a
+power-law graph is restructured into **dense MXU work over VMEM-resident
+tiles** so the systolic array does the data movement.
+
+Design (see SURVEY.md §7 "hard parts" #1):
+
+* The matrix is pre-tiled into (row-block R x column-stripe W) **cells**;
+  edges are sorted by (cell, row) and padded per-cell to CHUNK-sized
+  slices (:func:`tile_graph`, host-side, numpy — the C++ graphprep tool
+  covers the large-graph sort).
+* Grid = (feature-tile, row-block). The output block (R, Ft) stays
+  resident in VMEM across the whole stripe loop (grid iterates row-blocks
+  in the minor-most grid dimension only once per f-tile), so partial sums
+  never round-trip HBM — the (E, F) edge-major intermediate of the XLA
+  segment-sum path never exists.
+* Per stripe j: the x-stripe (W, Ft) is DMA'd HBM->VMEM once and reused
+  by every edge chunk of the cell (cells are skipped entirely when empty
+  — `cell_nchunks` arrives via scalar prefetch).
+* Per edge chunk (C edges): gather and scatter both become **one-hot
+  bf16 matmuls on the MXU** with f32 accumulation:
+      gathered = onehot(cols_local, W) @ x_stripe        (C, Ft)
+      acc     += onehot_T(rows_local, R) @ (gathered * vals)  (R, Ft)
+  One-hot matmul trades (W + R) * 2 * Ft flops/edge for perfectly regular
+  MXU work — on a v5e this is compute-bound at ~150 ms for Reddit-scale
+  (11.6M edges, F=640) per hop, with the HBM side (~34 GB of stripe
+  re-reads at R=2048) fully overlapped by the automatic block pipeline.
+* Deterministic: edges have a fixed order per cell and accumulation is
+  f32 adds in stripe-major order, so results are bitwise reproducible
+  run-to-run (the adversarial case for parity tests, SURVEY.md §4c).
+
+Correctness is validated in interpret mode against the XLA segment-sum
+oracle on every test run (tests/test_spmm_pallas.py); compiled execution
+requires direct (non-tunneled) TPU access.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgc_tpu.graph.sparse import SparseGraph
+
+# Defaults tuned for ~16 MB VMEM: x-stripe (W, 256) f32 = 2 MB (double-
+# buffered), one-hot operands (C, W) + (R, C) bf16 = 4 MB + 4 MB, output
+# accumulator (R, 256) f32 = 2 MB.
+DEFAULT_ROW_BLOCK = 2048     # R
+DEFAULT_STRIPE = 2048        # W
+DEFAULT_CHUNK = 1024         # C (edges per chunk)
+DEFAULT_FEATURE_TILE = 256   # Ft
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledGraph:
+    """Cell-tiled edge layout consumed by the Pallas kernel.
+
+    Edge arrays are concatenated per-cell chunk slices; ``cell_start[i,j]``
+    (in chunks) and ``cell_nchunks[i,j]`` index them. Padding edges have
+    ``val == 0`` and in-cell-range row/col so they contribute nothing.
+    """
+
+    rows: np.ndarray          # int32[n_chunks_total * C]
+    cols: np.ndarray          # int32[n_chunks_total * C]
+    vals: np.ndarray          # float32[n_chunks_total * C]
+    cell_start: np.ndarray    # int32[n_rb, n_st]
+    cell_nchunks: np.ndarray  # int32[n_rb, n_st]
+    n_rows: int
+    n_cols: int
+    row_block: int
+    stripe: int
+    chunk: int
+
+    @property
+    def n_row_blocks(self) -> int:
+        return self.cell_start.shape[0]
+
+    @property
+    def n_stripes(self) -> int:
+        return self.cell_start.shape[1]
+
+
+def tile_graph(
+    graph: SparseGraph,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    chunk: int = DEFAULT_CHUNK,
+) -> TiledGraph:
+    """Sort edges into (row-block, stripe) cells, pad each cell to chunks.
+
+    Host-side preprocessing (numpy). Done once per graph — the SGC K-hop
+    loop reuses the tiling for every hop and every K.
+    """
+    rows = np.asarray(graph.rows)[: graph.nnz].astype(np.int64)
+    cols = np.asarray(graph.cols)[: graph.nnz].astype(np.int64)
+    vals = np.asarray(graph.vals)[: graph.nnz].astype(np.float32)
+
+    n_rb = -(-graph.n_rows // row_block)
+    n_st = -(-graph.n_cols // stripe)
+
+    cell = (rows // row_block) * n_st + (cols // stripe)
+    order = np.lexsort((rows, cell))
+    rows, cols, vals, cell = rows[order], cols[order], vals[order], cell[order]
+
+    counts = np.bincount(cell, minlength=n_rb * n_st)
+    nchunks = -(-counts // chunk)  # ceil; 0 for empty cells
+    out_chunks = int(nchunks.sum())
+
+    r_out = np.zeros(out_chunks * chunk, np.int32)
+    c_out = np.zeros(out_chunks * chunk, np.int32)
+    v_out = np.zeros(out_chunks * chunk, np.float32)
+
+    cell_start = np.zeros(n_rb * n_st, np.int32)
+    np.cumsum(nchunks[:-1], out=cell_start[1:])
+
+    # scatter each cell's edges into its padded slot (vectorized over edges)
+    in_cell_pos = np.arange(len(rows)) - np.concatenate(
+        ([0], np.cumsum(counts)))[cell]
+    dst = cell_start[cell].astype(np.int64) * chunk + in_cell_pos
+    r_out[dst] = rows
+    c_out[dst] = cols
+    v_out[dst] = vals
+
+    # padding edges: clamp indices into the cell so local offsets stay
+    # in-range (val 0 makes them no-ops)
+    pad_mask = np.ones(out_chunks * chunk, bool)
+    pad_mask[dst] = False
+    if pad_mask.any():
+        pad_cell = np.repeat(
+            np.arange(n_rb * n_st), nchunks * chunk)[pad_mask]
+        r_out[pad_mask] = (pad_cell // n_st) * row_block
+        c_out[pad_mask] = (pad_cell % n_st) * stripe
+
+    return TiledGraph(
+        rows=r_out, cols=c_out, vals=v_out,
+        cell_start=cell_start.reshape(n_rb, n_st),
+        cell_nchunks=nchunks.astype(np.int32).reshape(n_rb, n_st),
+        n_rows=graph.n_rows, n_cols=graph.n_cols,
+        row_block=row_block, stripe=stripe, chunk=chunk,
+    )
+
+
+def _spmm_kernel(
+    # scalar prefetch
+    cell_start_ref,    # int32[n_rb, n_st] (SMEM)
+    cell_nchunks_ref,  # int32[n_rb, n_st] (SMEM)
+    # tensor inputs
+    rows_ref,          # int32[n_chunks*C] (ANY/HBM)
+    cols_ref,
+    vals_ref,
+    x_ref,             # f32[n_cols_padded, F] (ANY/HBM)
+    # output
+    out_ref,           # f32[R, Ft] (VMEM block)
+    # scratch
+    xs_ref,            # f32[2, W, Ft] stripe double buffer
+    er_ref,            # int32[2, C] edge rows double buffer
+    ec_ref,            # int32[2, C]
+    ev_ref,            # f32[2, C]
+    acc_ref,           # f32[R, Ft]
+    sems,              # DMA sems: (2, 4) [slot][x, rows, cols, vals]
+    *,
+    R: int, W: int, C: int, Ft: int, n_st: int,
+):
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+
+    def x_dma(slot, j):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(j * W, W), pl.ds(f * Ft, Ft)],
+            xs_ref.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def edge_dma(slot, chunk_idx):
+        s = pl.ds(chunk_idx * C, C)
+        return (
+            pltpu.make_async_copy(rows_ref.at[s], er_ref.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(cols_ref.at[s], ec_ref.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(vals_ref.at[s], ev_ref.at[slot], sems.at[slot, 3]),
+        )
+
+    def process_cell(j, x_slot):
+        """All chunks of cell (i, j); x stripe already resident in x_slot."""
+        start = cell_start_ref[i, j]
+        n = cell_nchunks_ref[i, j]
+
+        @pl.when(n > 0)
+        def _():
+            for d in edge_dma(0, start):
+                d.start()
+
+            def chunk_body(k, _):
+                slot = jax.lax.rem(k, 2)
+                nxt = jax.lax.rem(k + 1, 2)
+
+                @pl.when(k + 1 < n)
+                def _():
+                    for d in edge_dma(nxt, start + k + 1):
+                        d.start()
+
+                for d in edge_dma(slot, start + k):
+                    d.wait()
+
+                local_c = ec_ref[slot] - j * W
+                local_r = er_ref[slot] - i * R
+                g = (local_c[:, None] == iota_w).astype(jnp.bfloat16)
+                gathered = jnp.dot(
+                    g, xs_ref[x_slot].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                weighted = gathered * ev_ref[slot][:, None]
+                s = (iota_r == local_r[None, :]).astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot(
+                    s, weighted.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                return 0
+
+            jax.lax.fori_loop(0, n, chunk_body, 0)
+
+    # stripe loop with double-buffered x DMA, skipping empty cells' compute
+    # (their stripe still streams in; skipping the load too would need a
+    # nonempty-stripe index list — a second-order optimization)
+    x_dma(0, 0).start()
+
+    def stripe_body(j, _):
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < n_st)
+        def _():
+            x_dma(nxt, j + 1).start()
+
+        x_dma(slot, j).wait()
+        process_cell(j, slot)
+        return 0
+
+    jax.lax.fori_loop(0, n_st, stripe_body, 0)
+    out_ref[:] = acc_ref[:]
+
+
+def spmm_pallas_tiled(
+    tiled: TiledGraph,
+    x: jnp.ndarray,
+    feature_tile: int = DEFAULT_FEATURE_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SpMM over a pre-tiled graph. Returns float32[n_rows, F_padded] with
+    rows/features padded to block multiples (caller slices)."""
+    R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
+    n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
+
+    n_cols_pad = n_st * W
+    if x.shape[0] < n_cols_pad:
+        x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
+    Ft = min(feature_tile, max(int(x.shape[1]), 128))
+    f_pad = (-x.shape[1]) % Ft
+    if f_pad:
+        x = jnp.pad(x, ((0, 0), (0, f_pad)))
+    n_ft = x.shape[1] // Ft
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ft, n_rb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # rows
+            pl.BlockSpec(memory_space=pl.ANY),   # cols
+            pl.BlockSpec(memory_space=pl.ANY),   # vals
+            pl.BlockSpec(memory_space=pl.ANY),   # x
+        ],
+        out_specs=pl.BlockSpec(
+            (R, Ft), lambda f, i, *_: (i, f), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, Ft), jnp.float32),
+            pltpu.VMEM((2, C), jnp.int32),
+            pltpu.VMEM((2, C), jnp.int32),
+            pltpu.VMEM((2, C), jnp.float32),
+            pltpu.VMEM((R, Ft), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+
+    kernel = partial(
+        _spmm_kernel, R=R, W=W, C=C, Ft=Ft, n_st=n_st,
+    )
+    edge_flops = 2 * (W + R) * Ft * tiled.rows.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rb * R, x.shape[1]), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=edge_flops,
+            bytes_accessed=(
+                x.size * 4 * n_rb + tiled.rows.size * 12 * n_ft
+                + n_rb * R * x.shape[1] * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(tiled.cell_start),
+        jnp.asarray(tiled.cell_nchunks),
+        jnp.asarray(tiled.rows),
+        jnp.asarray(tiled.cols),
+        jnp.asarray(tiled.vals),
+        x,
+    )
+    return out
+
+
+def spmm_pallas(
+    graph: SparseGraph,
+    x: jnp.ndarray,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    chunk: int = DEFAULT_CHUNK,
+    feature_tile: int = DEFAULT_FEATURE_TILE,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in SpMM: tile on first use, run the kernel, slice padding off.
+
+    interpret=None auto-selects interpret mode off-TPU so tests and CPU
+    fallbacks run the same kernel logic through the Pallas interpreter.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tiled = tile_graph(graph, row_block, stripe, chunk)
+    out = spmm_pallas_tiled(tiled, x, feature_tile, interpret=interpret)
+    return out[: graph.n_rows, : x.shape[1]]
+
+
+# ---------------------------------------------------------------------------
+# SDDMM — sampled dense-dense matmul (edge values of A @ B^T)
+# ---------------------------------------------------------------------------
+
+
+def _sddmm_kernel(
+    rows_ref, cols_ref,      # int32[C] (VMEM blocks of the chunk grid)
+    a_ref, b_ref,            # f32[n, F] (ANY; compiler places small panels)
+    out_ref,                 # f32[C] (VMEM block)
+    *, C: int, F: int,
+):
+    """Per chunk: gather a-rows and b-rows via DMA… the gather here is
+    row-contiguous only for sorted rows, so a/b rows are fetched with a
+    one-hot MXU gather from VMEM-resident feature panels is not possible
+    (a/b span all nodes). Instead SDDMM keeps the XLA gather (fast path in
+    ops/spmm.py:sddmm); this Pallas variant handles the case where a and b
+    fit VMEM (graph transformer blocks), doing gather+dot fused."""
+    rows = rows_ref[:]
+    cols = cols_ref[:]
+    n = a_ref.shape[0]
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (C, n), 1)
+    ga = (rows[:, None] == iota_a).astype(jnp.bfloat16)
+    gb = (cols[:, None] == iota_a).astype(jnp.bfloat16)
+    left = jnp.dot(ga, a_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    right = jnp.dot(gb, b_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.sum(left * right, axis=-1)
+
+
+def sddmm_pallas(
+    graph: SparseGraph,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Edge values of a @ b.T at the graph's sparsity pattern (small-n
+    fused path; ops/spmm.py:sddmm is the general XLA path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e_pad = graph.rows.shape[0]
+    C = min(chunk, e_pad)
+    n_chunks = e_pad // C
+
+    out = pl.pallas_call(
+        partial(_sddmm_kernel, C=C, F=a.shape[1]),
+        out_shape=jax.ShapeDtypeStruct((e_pad,), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((C,), lambda k: (k,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda k: (k,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C,), lambda k: (k,), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(graph.rows, graph.cols, a, b)
+    return out

@@ -1,0 +1,134 @@
+"""Pallas SpMM/SDDMM kernel correctness vs the XLA segment-sum oracle.
+
+Runs through the Pallas interpreter on the CPU test mesh — the same
+kernel logic that compiles on TPU (SURVEY.md §4b kernel-test strategy).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.ops.spmm import sddmm, spmm
+from sgc_tpu.ops.spmm_pallas import (
+    sddmm_pallas,
+    spmm_pallas,
+    spmm_pallas_tiled,
+    tile_graph,
+)
+
+
+def _graph(n_rows=300, n_cols=300, e=2000, seed=0, square=True):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, n_rows, e)
+    c = rng.integers(0, n_cols, e)
+    m = sp.coo_matrix(
+        (rng.random(e, dtype=np.float32), (r, c)), shape=(n_rows, n_cols)
+    ).tocsr()
+    m.sum_duplicates()
+    return SparseGraph.from_scipy(m), m
+
+
+class TestTileGraph:
+    def test_tiling_preserves_all_edges(self):
+        graph, m = _graph()
+        t = tile_graph(graph, row_block=64, stripe=64, chunk=16)
+        # reconstruct dense matrix from tiled edges
+        dense = np.zeros((graph.n_rows, graph.n_cols), np.float64)
+        np.add.at(dense, (t.rows, t.cols), t.vals)
+        np.testing.assert_allclose(dense, m.toarray(), rtol=1e-6, atol=1e-7)
+
+    def test_cells_index_their_edges(self):
+        graph, m = _graph(seed=3)
+        t = tile_graph(graph, row_block=128, stripe=96, chunk=32)
+        for i in range(t.n_row_blocks):
+            for j in range(t.n_stripes):
+                s, n = t.cell_start[i, j], t.cell_nchunks[i, j]
+                seg = slice(s * t.chunk, (s + n) * t.chunk)
+                rr, cc, vv = t.rows[seg], t.cols[seg], t.vals[seg]
+                live = vv != 0
+                assert np.all(rr[live] // 128 == i)
+                assert np.all(cc[live] // 96 == j)
+
+    def test_empty_cells_zero_chunks(self):
+        # diagonal matrix: only diagonal cells populated
+        m = sp.eye(256, format="csr", dtype=np.float32)
+        graph = SparseGraph.from_scipy(m)
+        t = tile_graph(graph, row_block=64, stripe=64, chunk=16)
+        off_diag = ~np.eye(4, dtype=bool)
+        assert np.all(t.cell_nchunks[off_diag] == 0)
+        assert np.all(t.cell_nchunks[np.eye(4, dtype=bool)] > 0)
+
+
+@pytest.mark.parametrize("shape", [(256, 256, 1500), (200, 300, 900)])
+def test_spmm_pallas_matches_oracle(shape):
+    n_rows, n_cols, e = shape
+    graph, m = _graph(n_rows, n_cols, e, seed=1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((n_cols, 40), dtype=np.float32))
+    out = spmm_pallas(
+        graph, x, row_block=64, stripe=64, chunk=32, feature_tile=128,
+        interpret=True,
+    )
+    oracle = m @ np.asarray(x)
+    assert out.shape == (n_rows, 40)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=3e-2, atol=3e-2)
+
+
+def test_spmm_pallas_normalized_adjacency_vs_spmm():
+    rng = np.random.default_rng(4)
+    n, e = 400, 3000
+    adj = sp.coo_matrix(
+        (np.ones(e, np.float32),
+         (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    adj = adj + adj.T
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
+    x = jnp.asarray(rng.standard_normal((n, 16), dtype=np.float32))
+    ours = spmm_pallas(graph, x, row_block=128, stripe=128, chunk=64,
+                       interpret=True)
+    ref = spmm(graph, x, impl="segment")
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_spmm_pallas_deterministic():
+    graph, _ = _graph(seed=7)
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((300, 24), dtype=np.float32)
+    )
+    a = np.asarray(spmm_pallas(graph, x, row_block=64, stripe=64, chunk=32,
+                               interpret=True))
+    b = np.asarray(spmm_pallas(graph, x, row_block=64, stripe=64, chunk=32,
+                               interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sddmm_pallas_matches_oracle():
+    graph, m = _graph(n_rows=128, n_cols=128, e=800, seed=5)
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.standard_normal((128, 32), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((128, 32), dtype=np.float32))
+    ours = sddmm_pallas(graph, a, b, chunk=256, interpret=True)
+    oracle = sddmm(graph, a, b)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(oracle), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_spmm_dispatch_pallas_impl():
+    """ops.spmm(impl='pallas') routes through the kernel."""
+    graph, m = _graph(n_rows=128, n_cols=128, e=600, seed=9)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((128, 8), dtype=np.float32)
+    )
+    out = spmm(graph, x, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out), m @ np.asarray(x), rtol=3e-2, atol=3e-2
+    )
