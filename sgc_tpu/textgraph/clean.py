@@ -94,3 +94,32 @@ def build_corpus_file(
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("\n".join(docs))
     return docs
+
+
+def export_sentences(
+    corpus_path, out_path, min_tokens: int = 3
+) -> int:
+    """One sentence per line, blank line between docs — the pretraining
+    corpus format of the reference's prepare_bert.py:14-29.
+
+    Sentence splitting is rule-based (., !, ? followed by space+capital or
+    end), matching the reference's simple splitter; returns #sentences.
+    """
+    import re
+    from pathlib import Path
+
+    splitter = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9])")
+    n = 0
+    with open(corpus_path, encoding="utf-8", errors="ignore") as fi, \
+            open(out_path, "w", encoding="utf-8") as fo:
+        for doc in fi:
+            doc = doc.strip()
+            if not doc:
+                continue
+            for sent in splitter.split(doc):
+                sent = sent.strip()
+                if len(sent.split()) >= min_tokens:
+                    fo.write(sent + "\n")
+                    n += 1
+            fo.write("\n")
+    return n

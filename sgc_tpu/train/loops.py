@@ -82,8 +82,13 @@ def train_regression(
     epochs: int = 100,
     weight_decay: float = 5e-6,
     lr: float = 0.2,
+    writer=None,
 ):
-    """Adam full-batch logistic regression. Returns (params, train_seconds)."""
+    """Adam full-batch logistic regression. Returns (params, train_seconds).
+
+    ``writer`` (utils.profiling.ScalarWriter) records the per-epoch train
+    loss curve — the SummaryWriter contract of TextSGC_Bio/trainv2.py.
+    """
     lowered = _adam_epochs.lower(
         params, train_features, train_labels, lr, weight_decay, epochs
     )
@@ -93,7 +98,11 @@ def train_regression(
     t = perf_counter()
     params, losses = compiled(params, train_features, train_labels)
     sync(params)
-    return params, perf_counter() - t
+    dt = perf_counter() - t
+    if writer is not None:
+        writer.scalars("train/loss", [float(l) for l in losses])
+        writer.flush()
+    return params, dt
 
 
 @partial(

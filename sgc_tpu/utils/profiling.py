@@ -81,3 +81,44 @@ def device_trace(log_dir: str | None):
 
 def effective_bandwidth_gbs(bytes_moved: float, seconds: float) -> float:
     return bytes_moved / seconds / 1e9 if seconds > 0 else 0.0
+
+
+class ScalarWriter:
+    """Append-only scalar event log (the SummaryWriter analog).
+
+    The reference logs train-loss scalars to TensorBoard
+    (TextSGC_Bio/trainv2.py:62,82,107-108); here events are one JSON line
+    each — {"step", "tag", "value", "wall"} — trivially greppable and
+    importable into TensorBoard/Perfetto offline.
+    """
+
+    def __init__(self, path):
+        from pathlib import Path
+
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self._f.write(
+            json.dumps(
+                {"step": step, "tag": tag, "value": float(value),
+                 "wall": time.time()}
+            ) + "\n"
+        )
+
+    def scalars(self, tag: str, values, start_step: int = 0) -> None:
+        for i, v in enumerate(values):
+            self.scalar(tag, v, start_step + i)
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

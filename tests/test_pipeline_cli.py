@@ -132,3 +132,61 @@ def test_sequence_cli_runs(tiny_corpus, monkeypatch, capsys):
     main()
     outtext = capsys.readouterr().out
     assert "Test accuracy" in outtext
+
+
+def test_export_sentences(tmp_path):
+    from sgc_tpu.textgraph.clean import export_sentences
+
+    src = tmp_path / "docs.txt"
+    src.write_text(
+        "First sentence here. Second one follows! Third is a question?\n"
+        "Another document. Tiny.\n"
+    )
+    out = tmp_path / "sents.txt"
+    n = export_sentences(src, out, min_tokens=3)
+    lines = out.read_text().split("\n")
+    assert n == 3  # "Another document." and "Tiny." have < 3 tokens
+    assert "First sentence here." in lines
+    assert "" in lines  # doc separator blank line
+
+
+def test_scalar_writer(tmp_path):
+    import json as _json
+
+    from sgc_tpu.utils.profiling import ScalarWriter
+
+    p = tmp_path / "events.jsonl"
+    with ScalarWriter(p) as w:
+        w.scalars("train/loss", [1.0, 0.5, 0.25])
+        w.scalar("val/acc", 0.8, step=2)
+    events = [_json.loads(l) for l in p.read_text().splitlines()]
+    assert len(events) == 4
+    assert events[0]["tag"] == "train/loss" and events[0]["step"] == 0
+    assert events[-1]["value"] == 0.8
+
+
+def test_train_regression_writer(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgc_tpu.models.sgc import init_sgc
+    from sgc_tpu.train.loops import train_regression
+    from sgc_tpu.utils.profiling import ScalarWriter
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 8), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, 3, 32), jnp.int32)
+    params = init_sgc(jax.random.PRNGKey(0), 8, 3)
+    p = tmp_path / "ev.jsonl"
+    with ScalarWriter(p) as w:
+        train_regression(params, x, y, epochs=5, writer=w)
+    assert len(p.read_text().splitlines()) == 5
+
+
+def test_devices_cli(capsys):
+    from sgc_tpu.cli.devices import main
+
+    main()
+    out = capsys.readouterr().out
+    assert "backend" in out and "smoke test: OK" in out
