@@ -107,3 +107,35 @@ def test_partition_preserves_all_edges():
         v = np.asarray(pg.vals[p])
         np.add.at(dense, (r, c), v)
     np.testing.assert_allclose(dense[:77], a.toarray(), rtol=1e-6, atol=1e-7)
+
+
+class TestScalingHarness:
+    def test_measure_spmm_scaling_runs_and_agrees(self):
+        import scipy.sparse as sp
+
+        from sgc_tpu.graph.normalize import aug_normalized_adjacency
+        from sgc_tpu.parallel.scaling import measure_spmm_scaling
+
+        rng = np.random.default_rng(0)
+        n, e = 256, 2000
+        adj = sp.coo_matrix(
+            (np.ones(e, np.float32),
+             (rng.integers(0, n, e), rng.integers(0, n, e))),
+            shape=(n, n),
+        )
+        graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        report = measure_spmm_scaling(graph, x, n_devices=4, hops=2,
+                                      repeats=1)
+        assert report.n_devices == 4
+        assert report.single_rate > 0 and report.sharded_rate > 0
+        assert 0.0 < report.halo_fraction <= 1.0
+        assert "efficiency" in str(report)
+
+    def test_init_distributed_noop_single_process(self, monkeypatch):
+        from sgc_tpu.parallel.scaling import init_distributed
+
+        for k in ("MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+            monkeypatch.delenv(k, raising=False)
+        assert init_distributed() is False
