@@ -14,8 +14,19 @@ collectives over ICI.
   train.py      — full sharded SGC training step (graph-partitioned
                   propagation + tensor-parallel linear head + data-parallel
                   gradient psum)
+  halo.py       — boundary-feature all_to_all exchange plan + fused hop
+  debug.py      — checksum exchange validation (race-detector analog),
+                  fault injection, determinism assertions
+  scaling.py    — jax.distributed bring-up, edges/s scaling-efficiency
+                  harness (1 dev vs n-dev mesh)
 """
 
 from sgc_tpu.parallel.mesh import make_mesh  # noqa: F401
 from sgc_tpu.parallel.partition import PartitionedGraph, partition_graph  # noqa: F401
 from sgc_tpu.parallel.spmm import spmm_sharded  # noqa: F401
+from sgc_tpu.parallel.halo import build_halo  # noqa: F401
+from sgc_tpu.parallel.debug import assert_deterministic, validate_exchange  # noqa: F401
+from sgc_tpu.parallel.scaling import (  # noqa: F401
+    init_distributed,
+    measure_spmm_scaling,
+)

@@ -1,0 +1,143 @@
+"""Native C++ graphprep vs numpy-fallback parity (SURVEY.md §2.4).
+
+Each exported function must produce identical results through the
+compiled library and the pure-numpy twin (SGC_TPU_NO_NATIVE path), since
+graph container construction silently prefers the fast path.
+"""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sgc_tpu import native
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="native graphprep library not built"
+)
+
+
+def _edges(e=5000, n=512, seed=0, dups=True):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, e).astype(np.int64)
+    cols = rng.integers(0, n, e).astype(np.int64)
+    if dups:  # force duplicates to exercise coalesce
+        rows[: e // 10] = rows[0]
+        cols[: e // 10] = cols[0]
+    vals = rng.random(e).astype(np.float32)
+    return rows, cols, vals, n
+
+
+@requires_native
+def test_sort_edges_matches_lexsort():
+    rows, cols, vals, n = _edges()
+    # native functions mutate their inputs in place: pass copies
+    r, c, v = native.sort_edges(rows.copy(), cols.copy(), vals.copy(), n, n)
+    order = np.lexsort((cols, rows))
+    np.testing.assert_array_equal(r, rows[order])
+    np.testing.assert_array_equal(c, cols[order])
+    np.testing.assert_allclose(v, vals[order])
+
+
+@requires_native
+def test_row_ptr_matches_scipy_indptr():
+    rows, cols, vals, n = _edges(seed=1, dups=False)
+    r, c, v = native.sort_edges(rows.copy(), cols.copy(), vals.copy(), n, n)
+    ptr = native.row_ptr_from_sorted(r, n)
+    expect = np.concatenate(
+        ([0], np.cumsum(np.bincount(rows, minlength=n)))
+    )
+    np.testing.assert_array_equal(ptr, expect)
+
+
+@requires_native
+def test_coalesce_matches_scipy_sum_duplicates():
+    rows, cols, vals, n = _edges(seed=2)
+    r, c, v = native.sort_edges(rows.copy(), cols.copy(), vals.copy(), n, n)
+    rr, cc, vv = native.coalesce(r, c, v)
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    mc = m.tocoo()
+    order = np.lexsort((mc.col, mc.row))
+    np.testing.assert_array_equal(rr, mc.row[order])
+    np.testing.assert_array_equal(cc, mc.col[order])
+    np.testing.assert_allclose(vv, mc.data[order], rtol=1e-6)
+
+
+@requires_native
+def test_sym_normalize_matches_scipy_formula():
+    rows, cols, vals, n = _edges(seed=3, dups=False)
+    # make symmetric and deduped first
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    m = (m + m.T).tocsr()
+    m.sum_duplicates()
+    mc = m.tocoo()
+    r, c, v = native.sort_edges(
+        mc.row.astype(np.int64), mc.col.astype(np.int64),
+        mc.data.astype(np.float32), n, n,
+    )
+    r0, c0, v0 = r.copy(), c.copy(), v.copy()
+    _, _, nv = native.sym_normalize_edges(r, c, v, n)
+    # scipy oracle: D^-1/2 A D^-1/2 over the same edge list (no +I here;
+    # the aug variant adds self-loops before calling)
+    deg = np.zeros(n)
+    np.add.at(deg, r0, v0)
+    dinv = np.where(deg > 0, deg**-0.5, 0.0)
+    np.testing.assert_allclose(nv, dinv[r0] * v0 * dinv[c0], rtol=1e-5)
+
+
+@requires_native
+def test_partition_edges_covers_all_edges():
+    rows, cols, vals, n = _edges(seed=4, dups=False)
+    r, c, v = native.sort_edges(rows.copy(), cols.copy(), vals.copy(), n, n)
+    n_parts, rpp = 4, (n + 3) // 4
+    e_max = int(native.edge_counts(r, n_parts, rpp).max()) + 64
+    pr, pc, pv = native.partition_edges(r, c, v, n_parts, rpp, e_max, n)
+    assert pr.shape == (n_parts, e_max)
+    total = 0
+    for p in range(n_parts):
+        live = pv[p] != 0
+        total += int(live.sum())
+        # partition rows are LOCAL to the block: in [0, rpp)
+        assert np.all((pr[p][live] >= 0) & (pr[p][live] < rpp))
+        # reconstruct global rows; all must belong to part p
+        assert np.all((pr[p][live] + p * rpp) // rpp == p)
+    # zero-valued real edges don't occur with random.random data
+    assert total == len(r)
+
+
+@requires_native
+def test_edge_counts_matches_bincount():
+    rows, cols, vals, n = _edges(seed=5, dups=False)
+    n_parts, rpp = 4, (n + 3) // 4
+    counts = native.edge_counts(rows, n_parts, rpp)
+    expect = np.bincount(np.minimum(rows // rpp, n_parts - 1),
+                         minlength=n_parts)
+    np.testing.assert_array_equal(counts, expect)
+
+
+def test_numpy_fallback_paths(monkeypatch):
+    """SGC_TPU_NO_NATIVE forces numpy twins; results must match scipy."""
+    rows, cols, vals, n = _edges(seed=6)
+    monkeypatch.setenv("SGC_TPU_NO_NATIVE", "1")
+    import sgc_tpu.native as nat
+
+    # call through the public API with the lib intentionally bypassed
+    lib = nat._lib
+    nat._lib = None
+    try:
+        monkeypatch.setattr(nat, "_try_load", lambda: None)
+        r, c, v = nat.sort_edges(rows, cols, vals, n, n)
+        order = np.lexsort((cols, rows))
+        np.testing.assert_array_equal(r, rows[order])
+        ptr = nat.row_ptr_from_sorted(r, n)
+        rr, cc, vv = nat.coalesce(r, c, v)
+        m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        assert len(rr) == m.nnz
+        np.testing.assert_array_equal(ptr[-1], len(r))
+    finally:
+        nat._lib = lib
