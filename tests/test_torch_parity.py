@@ -93,3 +93,63 @@ def test_normalization_matches_torch_dense_formula():
     dinv = torch.diag(d.pow(-0.5))
     ref = (dinv @ at @ dinv).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gcn_per_layer_parity_vs_torch():
+    """2-layer GCN forward (W then spmm, ReLU between — reference
+    models.py:20-57 with the missing-return bug fixed) recomputed with
+    torch sparse ops layer by layer."""
+    import jax
+
+    from sgc_tpu.models.gcn import gcn_apply, init_gcn
+
+    rng = np.random.default_rng(2)
+    n, e, f, h, c = 200, 1500, 32, 16, 5
+    adj = sp.coo_matrix(
+        (np.ones(e, np.float32),
+         (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    norm = aug_normalized_adjacency(adj + adj.T)
+    graph = SparseGraph.from_scipy(norm.tocsr())
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    params = init_gcn(jax.random.PRNGKey(0), f, h, c)
+    ours = np.asarray(
+        gcn_apply(params, jnp.asarray(x), graph, use_relu=True)
+    )
+
+    coo = norm.tocoo()
+    idx = torch.from_numpy(np.vstack([coo.row, coo.col])).long()
+    val = torch.from_numpy(coo.data.astype(np.float32))
+    adj_t = torch.sparse_coo_tensor(idx, val, coo.shape).coalesce()
+    xt = torch.from_numpy(x)
+    w1 = torch.from_numpy(np.asarray(params.w1))
+    b1 = torch.from_numpy(np.asarray(params.b1))
+    w2 = torch.from_numpy(np.asarray(params.w2))
+    b2 = torch.from_numpy(np.asarray(params.b2))
+    hid = torch.relu(torch.spmm(adj_t, xt @ w1 + b1))
+    ref = torch.spmm(adj_t, hid @ w2 + b2).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sk_sweep_parity():
+    """S^K X for K = 1..4 vs scipy matrix power (the K-hop sweep config,
+    BASELINE.json configs[4])."""
+    rng = np.random.default_rng(3)
+    n, e = 150, 1000
+    adj = sp.coo_matrix(
+        (np.ones(e, np.float32),
+         (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    norm = aug_normalized_adjacency(adj + adj.T).tocsr()
+    graph = SparseGraph.from_scipy(norm)
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+
+    for k in range(1, 5):
+        ours = np.asarray(propagate(jnp.asarray(x), graph, k))
+        ref = x.copy()
+        for _ in range(k):
+            ref = norm @ ref
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
