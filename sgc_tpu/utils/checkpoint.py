@@ -53,19 +53,27 @@ def load_features(path: str | Path) -> dict:
     return load_array_dict(path)
 
 
+def _npz_path(path: Path) -> Path:
+    # np.savez appends .npz itself; normalize so save/load agree for
+    # suffixless paths
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz"
+    )
+
+
 def save_params(path: str | Path, params) -> None:
     """Save a params pytree (structure recorded alongside the leaves)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree.flatten(_to_host(params))
-    np.savez(path, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    np.savez(_npz_path(path), **{f"leaf_{i}": l for i, l in enumerate(leaves)})
     with open(path.with_suffix(".treedef"), "wb") as f:
         pickle.dump(treedef, f)
 
 
 def load_params(path: str | Path):
     path = Path(path)
-    with np.load(path) as f:
+    with np.load(_npz_path(path)) as f:
         leaves = [jnp.asarray(f[f"leaf_{i}"]) for i in range(len(f.files))]
     with open(path.with_suffix(".treedef"), "rb") as f:
         treedef = pickle.load(f)

@@ -109,3 +109,26 @@ def test_gcn_learns_two_clusters():
         .astype(jnp.float32)
     ))
     assert acc > 0.9, acc
+
+
+def test_transformer_params_checkpoint_roundtrip(tmp_path):
+    """save_params/load_params over the nested transformer pytree."""
+    import jax
+
+    from sgc_tpu.models.transformer import (
+        TransformerConfig, init_transformer, transformer_apply,
+    )
+    from sgc_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = TransformerConfig(
+        vocab_size=32, n_classes=3, max_len=8, dim=16, n_heads=2, n_layers=2
+    )
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    save_params(tmp_path / "ckpt", params)
+    back = load_params(tmp_path / "ckpt")
+
+    ids = jnp.asarray(np.zeros((2, 8), np.int32))
+    mask = jnp.ones((2, 8), jnp.float32)
+    a = np.asarray(transformer_apply(params, ids, mask))
+    b = np.asarray(transformer_apply(back, ids, mask))
+    np.testing.assert_array_equal(a, b)
