@@ -16,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_LIB_PATH = _HERE / "_graphprep.so"
+_LIB_PATH = _HERE / "libgraphprep.so"
 _lib = None
 
 

@@ -2,7 +2,7 @@
 
     python -m sgc_tpu.native.build
 
-Compiles graphprep.cpp to ``_graphprep.so`` next to this file with g++
+Compiles graphprep.cpp to ``libgraphprep.so`` next to this file with g++
 -O3. No external build system needed; cmake/bazel users can wrap this in
 their own rules — the library is a flat C ABI.
 """
@@ -15,7 +15,7 @@ from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
 SRC = HERE / "graphprep.cpp"
-OUT = HERE / "_graphprep.so"
+OUT = HERE / "libgraphprep.so"
 
 
 def build(verbose: bool = True) -> Path:
