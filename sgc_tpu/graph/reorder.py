@@ -1,0 +1,132 @@
+"""Graph reordering for partition locality (halo minimization).
+
+The row-block partitioner (`sgc_tpu.parallel.partition`) assigns
+contiguous node ranges to devices; its communication volume — the halo
+fraction — depends entirely on how well the node numbering clusters
+neighborhoods. Real graphs (citation networks, doc-word graphs) arrive
+with arbitrary ids. Reordering is the host-side preprocessing that makes
+block partitioning behave like a real partitioner:
+
+* :func:`rcm_order` — reverse Cuthill-McKee via scipy: bandwidth
+  reduction, the classic choice for SpMM locality.
+* :func:`bfs_order` — plain BFS from a min-degree seed per component;
+  cheaper, similar clustering quality on mesh-like graphs.
+* :func:`degree_order` — descending-degree: groups hubs together so
+  power-law hot rows land in few blocks (helps load balance analysis).
+* :func:`apply_order` — permutes a scipy adjacency + aligned arrays
+  (features, labels, index sets) consistently.
+
+The reference has nothing comparable (single device, no locality
+pressure); this is TPU-build capability per SURVEY.md §7 ("partitioning
+strategy determines everything").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def rcm_order(adj: sp.spmatrix) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (new_order[i] = old id)."""
+    return np.asarray(
+        sp.csgraph.reverse_cuthill_mckee(adj.tocsr(), symmetric_mode=True)
+    )
+
+
+def bfs_order(adj: sp.spmatrix) -> np.ndarray:
+    """BFS ordering from a min-degree seed of each connected component."""
+    csr = adj.tocsr()
+    n = csr.shape[0]
+    deg = np.diff(csr.indptr)
+    visited = np.zeros(n, bool)
+    order = np.empty(n, np.int64)
+    pos = 0
+    # iterate components; seeds in ascending degree
+    for seed in np.argsort(deg, kind="stable"):
+        if visited[seed]:
+            continue
+        queue = [int(seed)]
+        visited[seed] = True
+        while queue:
+            next_queue = []
+            for u in queue:
+                order[pos] = u
+                pos += 1
+                nbrs = csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
+                for v in nbrs:
+                    if not visited[v]:
+                        visited[v] = True
+                        next_queue.append(int(v))
+            queue = next_queue
+    return order
+
+
+def degree_order(adj: sp.spmatrix, descending: bool = True) -> np.ndarray:
+    """Order nodes by degree (hubs first by default)."""
+    deg = np.diff(adj.tocsr().indptr)
+    order = np.argsort(deg, kind="stable")
+    return order[::-1].copy() if descending else order
+
+
+def apply_order(
+    adj: sp.spmatrix,
+    order: np.ndarray,
+    *aligned: np.ndarray,
+) -> tuple:
+    """Permute adjacency (rows+cols) and any node-aligned arrays.
+
+    ``order[i]`` = old id placed at new position i. Index sets (1-D int
+    arrays of node ids, e.g. idx_train) must be remapped with
+    :func:`remap_indices` instead — aligned arrays here are per-node data
+    (features, labels).
+    """
+    perm = np.asarray(order)
+    padj = adj.tocsr()[perm][:, perm]
+    out = [np.asarray(a)[perm] for a in aligned]
+    return (padj, *out)
+
+
+def remap_indices(order: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Map old node ids to their new positions under ``order``."""
+    inv = np.empty(len(order), np.int64)
+    inv[np.asarray(order)] = np.arange(len(order))
+    return inv[np.asarray(indices)]
+
+
+def spectral_order(adj: sp.spmatrix, tol: float = 1e-4) -> np.ndarray:
+    """Fiedler-vector ordering: sort nodes by the second eigenvector of
+    the normalized Laplacian. The classic spectral-partitioning relaxation
+    — contiguous ranges of the order approximate balanced min-cut parts,
+    which is exactly what the row-block partitioner consumes. Falls back
+    to RCM if the eigensolver fails to converge."""
+    from scipy.sparse.linalg import eigsh
+
+    csr = adj.tocsr().astype(np.float64)
+    n = csr.shape[0]
+    deg = np.asarray(csr.sum(axis=1)).ravel()
+    dinv = np.where(deg > 0, deg**-0.5, 0.0)
+    d = sp.diags(dinv)
+    lap = sp.eye(n) - d @ csr @ d
+    try:
+        # smallest two eigenpairs; shift-invert for the small end
+        _, vecs = eigsh(lap, k=2, sigma=0, which="LM", tol=tol)
+    except Exception:
+        return rcm_order(adj)
+    fiedler = dinv * vecs[:, 1]
+    return np.argsort(fiedler, kind="stable")
+
+
+ORDERINGS = {
+    "rcm": rcm_order,
+    "bfs": bfs_order,
+    "degree": degree_order,
+    "spectral": spectral_order,
+    "none": lambda adj: np.arange(adj.shape[0]),
+}
+
+
+def fetch_ordering(name: str):
+    if name not in ORDERINGS:
+        raise ValueError(f"unknown ordering {name!r}; one of {list(ORDERINGS)}")
+    return ORDERINGS[name]
