@@ -1,0 +1,176 @@
+"""Batched inference engine for trained graph models.
+
+Serving on TPU is shaped by XLA's compile-per-shape model: every distinct
+batch size is a new program. The engine therefore buckets request sizes
+to powers of two (one-time compile per bucket, warmed eagerly), pads with
+masked rows, and keeps everything else static.
+
+Two modes, matching the framework's two inference regimes:
+
+* **transductive** — logits for known node ids against the precomputed
+  ``S^K X`` feature matrix (the factorization means serving is one MXU
+  matmul; reference citation.py:60-70 eval path).
+* **inductive** — logits for *unseen* nodes given their raw features via
+  fixed-fanout sampled propagation (``sgc_tpu.ops.sampling``; the serving
+  analog of reference reddit.py's full-graph eval, without full-graph
+  SpMM per request).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgc_tpu.models.sgc import SGCParams, sgc_apply
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_batch: int = 1024          # largest bucket
+    min_batch: int = 8             # smallest bucket
+    warmup: bool = True            # compile all buckets at startup
+    fanouts: tuple = (25, 10)      # inductive sampling fanouts
+    seed: int = 0
+
+
+def _buckets(lo: int, hi: int) -> list[int]:
+    out, b = [], lo
+    while b < hi:
+        out.append(b)
+        b *= 2
+    out.append(hi)
+    return out
+
+
+@dataclasses.dataclass
+class Stats:
+    requests: int = 0
+    rows: int = 0
+    total_s: float = 0.0
+
+    def observe(self, n_rows: int, dt: float) -> None:
+        self.requests += 1
+        self.rows += n_rows
+        self.total_s += dt
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return 1e3 * self.total_s / max(self.requests, 1)
+
+
+class InferenceEngine:
+    """Shape-bucketed jitted forward for SGC heads.
+
+    Args:
+      params:   trained SGCParams.
+      features: transductive mode — float[N, F] PRECOMPUTED (S^K X)
+                features; logits come from a row gather + matmul.
+      graph + raw_features: inductive mode — SparseGraph + raw float[N, F]
+                node features; logits come from sampled propagation.
+    """
+
+    def __init__(
+        self,
+        params: SGCParams,
+        features: np.ndarray | None = None,
+        graph=None,
+        raw_features: np.ndarray | None = None,
+        config: EngineConfig | None = None,
+    ):
+        if (features is None) == (graph is None):
+            raise ValueError(
+                "exactly one of features= (transductive) or "
+                "graph=+raw_features= (inductive) is required"
+            )
+        self.config = config or EngineConfig()
+        self.params = params
+        self.stats = Stats()
+        self._mode = "transductive" if features is not None else "inductive"
+        self._key = jax.random.PRNGKey(self.config.seed)
+
+        if self._mode == "transductive":
+            self._features = jnp.asarray(features)
+        else:
+            if raw_features is None:
+                raise ValueError("inductive mode requires raw_features=")
+            self._graph = graph
+            self._features = jnp.asarray(raw_features)
+
+        self._bucket_sizes = _buckets(
+            self.config.min_batch, self.config.max_batch
+        )
+        self._build()
+        if self.config.warmup:
+            self.warmup()
+
+    # -- compiled programs --------------------------------------------------
+
+    def _build(self) -> None:
+        if self._mode == "transductive":
+
+            @jax.jit
+            def fwd(params, feats, ids):
+                return sgc_apply(params, jnp.take(feats, ids, axis=0))
+
+            self._fwd = fwd
+        else:
+            from functools import partial
+
+            from sgc_tpu.ops.sampling import sampled_propagate
+
+            fanouts = tuple(self.config.fanouts)
+
+            # graph flows as a pytree argument (not a baked-in constant)
+            @partial(jax.jit, static_argnames=())
+            def fwd(params, graph, feats, ids, key):
+                est = sampled_propagate(graph, feats, ids, key, fanouts)
+                return sgc_apply(params, est)
+
+            self._fwd = fwd
+
+    def warmup(self) -> None:
+        """Compile every bucket up front (serving should never compile on
+        the request path)."""
+        for b in self._bucket_sizes:
+            ids = jnp.zeros((b,), jnp.int32)
+            jax.block_until_ready(self._call(ids))
+
+    def _call(self, ids: jnp.ndarray):
+        if self._mode == "transductive":
+            return self._fwd(self.params, self._features, ids)
+        self._key, sub = jax.random.split(self._key)
+        return self._fwd(self.params, self._graph, self._features, ids, sub)
+
+    # -- public API ---------------------------------------------------------
+
+    def bucket_for(self, n: int) -> int:
+        for b in self._bucket_sizes:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"batch of {n} exceeds max_batch {self.config.max_batch}"
+        )
+
+    def predict_logits(self, node_ids: Sequence[int]) -> np.ndarray:
+        """Logits for a node-id batch (padded to the bucket internally)."""
+        n = len(node_ids)
+        if n == 0:
+            return np.zeros((0, self.params.w.shape[1]), np.float32)
+        b = self.bucket_for(n)
+        ids = np.zeros(b, np.int32)
+        ids[:n] = np.asarray(node_ids, np.int32)
+        t0 = time.perf_counter()
+        out = np.asarray(self._call(jnp.asarray(ids)))[:n]
+        self.stats.observe(n, time.perf_counter() - t0)
+        return out
+
+    def predict(self, node_ids: Sequence[int]) -> np.ndarray:
+        """Argmax class predictions."""
+        logits = self.predict_logits(node_ids)
+        return np.argmax(logits, axis=1).astype(np.int32)

@@ -1,0 +1,76 @@
+"""Zero-dependency HTTP JSON endpoint around an InferenceEngine.
+
+POST /predict          {"node_ids": [1, 2, 3]}  -> {"predictions": [...]}
+POST /predict_logits   {"node_ids": [...]}      -> {"logits": [[...], ...]}
+GET  /healthz                                    -> {"status": "ok", ...}
+
+stdlib http.server only — deployable anywhere Python runs; for real
+fleets put it behind any standard HTTP load balancer (the engine itself
+is thread-safe for sequential handlers; http.server serializes requests).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from sgc_tpu.serve.engine import InferenceEngine
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "mode": engine._mode,
+                    "requests": engine.stats.requests,
+                    "mean_latency_ms": round(engine.stats.mean_latency_ms, 3),
+                })
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                ids = req.get("node_ids")
+                if not isinstance(ids, list):
+                    self._send(400, {"error": "node_ids must be a list"})
+                    return
+                if self.path == "/predict":
+                    self._send(
+                        200,
+                        {"predictions": engine.predict(ids).tolist()},
+                    )
+                elif self.path == "/predict_logits":
+                    self._send(
+                        200,
+                        {"logits": engine.predict_logits(ids).tolist()},
+                    )
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # serving must not crash the process
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8787):
+    """Blocking server loop. Returns the server object if port==0 callers
+    want the bound address before serving (use server.serve_forever())."""
+    server = HTTPServer((host, port), make_handler(engine))
+    return server

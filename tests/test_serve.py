@@ -1,0 +1,140 @@
+"""Serving engine + HTTP endpoint tests."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.models.sgc import init_sgc
+from sgc_tpu.serve import EngineConfig, InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Tiny trained head over precomputed features (separable task)."""
+    from sgc_tpu.train.loops import train_regression
+
+    rng = np.random.default_rng(0)
+    n, f, c = 64, 16, 3
+    y = rng.integers(0, c, n).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32) * 0.1
+    feats[np.arange(n), y] += 3.0  # class-aligned features
+    params = init_sgc(jax.random.PRNGKey(0), f, c)
+    params, _ = train_regression(
+        params, jnp.asarray(feats), jnp.asarray(y), epochs=60, lr=0.2,
+        weight_decay=0.0,
+    )
+    return params, feats, y
+
+
+class TestEngine:
+    def test_transductive_predictions(self, trained):
+        params, feats, y = trained
+        eng = InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=32),
+        )
+        ids = list(range(20))
+        preds = eng.predict(ids)
+        assert preds.shape == (20,)
+        acc = float((preds == y[:20]).mean())
+        assert acc > 0.9
+        assert eng.stats.requests >= 1 and eng.stats.rows >= 20
+
+    def test_bucketing(self, trained):
+        params, feats, _ = trained
+        eng = InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=32, warmup=False),
+        )
+        assert eng.bucket_for(3) == 4
+        assert eng.bucket_for(4) == 4
+        assert eng.bucket_for(5) == 8
+        assert eng.bucket_for(32) == 32
+        with pytest.raises(ValueError):
+            eng.bucket_for(33)
+
+    def test_empty_batch(self, trained):
+        params, feats, _ = trained
+        eng = InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=8, warmup=False),
+        )
+        assert eng.predict([]).shape == (0,)
+
+    def test_inductive_mode(self, trained):
+        params, feats, _ = trained
+        rng = np.random.default_rng(1)
+        n = feats.shape[0]
+        adj = sp.coo_matrix(
+            (np.ones(400, np.float32),
+             (rng.integers(0, n, 400), rng.integers(0, n, 400))),
+            shape=(n, n),
+        )
+        graph = SparseGraph.from_scipy(
+            aug_normalized_adjacency(adj + adj.T)
+        )
+        eng = InferenceEngine(
+            params, graph=graph, raw_features=feats,
+            config=EngineConfig(min_batch=4, max_batch=8, fanouts=(4, 4)),
+        )
+        out = eng.predict_logits([0, 1, 2])
+        assert out.shape == (3, params.w.shape[1])
+        assert np.all(np.isfinite(out))
+
+    def test_mode_exclusivity(self, trained):
+        params, feats, _ = trained
+        with pytest.raises(ValueError):
+            InferenceEngine(params)
+        with pytest.raises(ValueError):
+            InferenceEngine(params, features=feats, graph="also")
+
+
+class TestHTTP:
+    def test_endpoint_roundtrip(self, trained):
+        from sgc_tpu.serve.http import serve
+
+        params, feats, y = trained
+        eng = InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=16),
+        )
+        server = serve(eng, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=json.dumps({"node_ids": [0, 1, 2, 3]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                body = json.loads(r.read())
+            assert body["predictions"] == list(np.asarray(y[:4]))
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok"
+            assert health["requests"] >= 1
+
+            # bad request
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=json.dumps({"node_ids": "nope"}).encode(),
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+        finally:
+            server.shutdown()
