@@ -26,3 +26,12 @@ __all__ += [
     "init_transformer",
     "transformer_apply",
 ]
+
+from sgc_tpu.models.deep_gcn import (  # noqa: F401
+    DeepGCNParams,
+    deep_gcn_apply,
+    init_deep_gcn,
+    stage_layers,
+)
+
+__all__ += ["DeepGCNParams", "deep_gcn_apply", "init_deep_gcn", "stage_layers"]
