@@ -54,3 +54,14 @@ def test_cora_per_hop_parity_vs_scipy():
         np.testing.assert_allclose(
             np.asarray(hops[k]), expected, rtol=1e-4, atol=1e-6
         )
+
+
+@requires_cora
+def test_sweep_cli_reproduces_golden_at_k2():
+    from sgc_tpu.cli.sweep import sweep
+
+    rows = sweep(["cora"], [1, 2], epochs=100)
+    by_k = {r["K"]: r for r in rows}
+    assert by_k[2]["test_acc"] >= 0.805   # golden 0.810
+    # deeper propagation beats K=1 on cora
+    assert by_k[2]["test_acc"] > by_k[1]["test_acc"]
