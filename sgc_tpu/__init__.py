@@ -14,8 +14,13 @@ Layering (bottom-up):
   models/    SGC linear head, GCN, model registry
   train/     optimizers (Adam, LBFGS), training loops, metrics
   data/      Planetoid / Reddit / text-corpus loaders, cross-validation
-  textgraph/ corpus cleaning and PMI/TF-IDF doc-word graph builders
+  textgraph/ corpus cleaning, PMI/TF-IDF doc-word graph builders,
+             word embeddings (pretrained extraction + JAX word2vec)
   tune/      TPE hyperparameter search over frozen propagated features
+  serve/     production inference engine + HTTP endpoint
+  native/    C++ host-side graph preprocessing (ctypes)
+  cli/       entry points (citation, reddit, textsgc, tuning, crossval,
+             build_graph, embedding, word2vec, sequence, sweep, devices)
 """
 
 __version__ = "0.1.0"
