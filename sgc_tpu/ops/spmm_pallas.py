@@ -338,7 +338,14 @@ def spmm_pallas(
     fallbacks run the same kernel logic through the Pallas interpreter.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        import os
+
+        # SGC_TPU_PALLAS_INTERPRET=1 forces interpreter mode even on TPU —
+        # needed on tunneled dev backends where Mosaic compilation hangs.
+        interpret = (
+            jax.default_backend() != "tpu"
+            or os.environ.get("SGC_TPU_PALLAS_INTERPRET") == "1"
+        )
     tiled = tile_graph(graph, row_block, stripe, chunk)
     out = spmm_pallas_tiled(tiled, x, feature_tile, interpret=interpret)
     return out[: graph.n_rows, : x.shape[1]]
