@@ -16,7 +16,7 @@ self-contained JAX encoder classifier:
 * ``head_only`` freezes the encoder via ``lax.stop_gradient`` — the
   analog of the reference's two fine-tuning param groups,
 * when HuggingFace *flax* pretrained weights are locally available,
-  :func:`sgc_tpu.train.sequence.finetune_pretrained` upgrades this path
+  :func:`sgc_tpu.train.finetune.finetune_pretrained` upgrades this path
   to a true pretrained fine-tune; the from-scratch model is the hermetic
   default.
 

@@ -13,3 +13,18 @@ __all__ = [
     "train_linear",
     "eval_linear",
 ]
+
+from sgc_tpu.train.sequence import (  # noqa: F401
+    SeqTrainConfig,
+    predict_sequence,
+    train_sequence_classifier,
+)
+from sgc_tpu.train.finetune import FinetuneConfig, finetune_pretrained  # noqa: F401
+
+__all__ += [
+    "SeqTrainConfig",
+    "predict_sequence",
+    "train_sequence_classifier",
+    "FinetuneConfig",
+    "finetune_pretrained",
+]
