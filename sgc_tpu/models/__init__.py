@@ -35,3 +35,19 @@ from sgc_tpu.models.deep_gcn import (  # noqa: F401
 )
 
 __all__ += ["DeepGCNParams", "deep_gcn_apply", "init_deep_gcn", "stage_layers"]
+
+from sgc_tpu.models.gat import (  # noqa: F401
+    GATLayerParams,
+    gat_layer_apply,
+    init_gat_layer,
+    init_multi_head,
+    multi_head_gat,
+)
+
+__all__ += [
+    "GATLayerParams",
+    "gat_layer_apply",
+    "init_gat_layer",
+    "init_multi_head",
+    "multi_head_gat",
+]
