@@ -91,6 +91,20 @@ def reddit_available() -> bool:
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: over the tunneled backend each
+    # Reddit-scale program costs minutes to compile; caching makes repeat
+    # bench runs start in seconds.
+    cache_dir = os.environ.get(
+        "SGC_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
     import jax.numpy as jnp
 
     from sgc_tpu.models.sgc import init_sgc

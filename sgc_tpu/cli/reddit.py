@@ -35,23 +35,32 @@ def run(
     normalization: str = "AugNormAdj",
     seed: int = 42,
     data_path: str | None = None,
+    sharded: bool = False,
 ) -> dict:
     key = set_seed(seed)
     data = load_reddit(normalization, data_path)
 
-    # Eval features always come from the full graph (reference reddit.py:43).
-    feats_eval, t_full = sgc_precompute(data.features, data.graph, degree)
-
-    if inductive:
-        # Train features from the train-only sub-adjacency over train rows
-        # (reference reddit.py:44-45).
-        train_in = data.features[jnp.asarray(data.idx_train)]
-        feats_train, t_train_pre = sgc_precompute(
-            train_in, data.train_graph, degree
+    if sharded:
+        # Multi-device propagation: both adjacencies partitioned over the
+        # mesh, boundary features exchanged per hop (parallel/inductive.py).
+        feats_eval, feats_train, t_full = _sharded_propagate(
+            data, degree, inductive
         )
-    else:
-        feats_train = feats_eval[jnp.asarray(data.idx_train)]
         t_train_pre = 0.0
+    else:
+        # Eval features from the full graph (reference reddit.py:43).
+        feats_eval, t_full = sgc_precompute(data.features, data.graph, degree)
+
+        if inductive:
+            # Train features from the train-only sub-adjacency over train
+            # rows (reference reddit.py:44-45).
+            train_in = data.features[jnp.asarray(data.idx_train)]
+            feats_train, t_train_pre = sgc_precompute(
+                train_in, data.train_graph, degree
+            )
+        else:
+            feats_train = feats_eval[jnp.asarray(data.idx_train)]
+            t_train_pre = 0.0
 
     params = init_sgc(key, feats_eval.shape[1], data.n_classes, bias=True)
     labels_train = data.labels[jnp.asarray(data.idx_train)]
@@ -74,9 +83,44 @@ def run(
     }
 
 
+def _sharded_propagate(data, degree: int, inductive: bool):
+    """Dual-adjacency propagation over all available devices."""
+    from time import perf_counter
+
+    import jax
+
+    from sgc_tpu.parallel.inductive import (
+        build_dual_partition,
+        inductive_dual_propagate,
+    )
+    from sgc_tpu.parallel.mesh import make_mesh
+    from sgc_tpu.utils.profiling import sync
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, 1)
+    train_graph = data.train_graph if inductive else data.graph
+    dual = build_dual_partition(
+        data.graph, train_graph, data.idx_train, n_dev
+    )
+    t0 = perf_counter()
+    eval_s, train_s = inductive_dual_propagate(
+        mesh, dual, data.features, degree
+    )
+    sync(eval_s)
+    t = perf_counter() - t0
+    feats_eval = eval_s[: data.graph.n_rows]
+    if inductive:
+        feats_train = train_s[: train_graph.n_rows]
+    else:
+        feats_train = feats_eval[jnp.asarray(data.idx_train)]
+    return feats_eval, feats_train, t
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--inductive", action="store_true")
+    parser.add_argument("--sharded", action="store_true",
+                        help="partition both adjacencies over all devices")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--degree", type=int, default=2)
@@ -89,6 +133,7 @@ def main() -> None:
 
     res = run(
         inductive=args.inductive,
+        sharded=args.sharded,
         test=args.test,
         degree=args.degree,
         epochs=args.epochs,
