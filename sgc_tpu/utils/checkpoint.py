@@ -143,3 +143,52 @@ def propagate_with_checkpoints(
             x.block_until_ready()
             ckpt.save_hop(k, x)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Sharded-state checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def orbax_available() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def save_sharded(path: str | Path, tree) -> None:
+    """Checkpoint a pytree of (possibly sharded) jax arrays via orbax.
+
+    Unlike ``save_params`` (host numpy + npz), this preserves device
+    sharding metadata and writes shards in parallel from each host — the
+    path to use for pod-scale training state. Falls back to
+    ``save_params`` when orbax is unavailable.
+    """
+    path = Path(path).resolve()
+    if not orbax_available():
+        save_params(path, tree)
+        return
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_sharded(path: str | Path, like=None):
+    """Restore a pytree saved by :func:`save_sharded`.
+
+    ``like`` (a pytree of arrays or jax.ShapeDtypeStruct with shardings)
+    restores directly onto the target mesh layout; None restores to host.
+    """
+    path = Path(path).resolve()
+    if not orbax_available():
+        return load_params(path)
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(path)
+        return ckptr.restore(path, item=like)

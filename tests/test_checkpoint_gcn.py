@@ -132,3 +132,28 @@ def test_transformer_params_checkpoint_roundtrip(tmp_path):
     a = np.asarray(transformer_apply(params, ids, mask))
     b = np.asarray(transformer_apply(back, ids, mask))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax sharded-state save/restore preserves values and shardings."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sgc_tpu.parallel.mesh import make_mesh
+    from sgc_tpu.utils.checkpoint import (
+        load_sharded, orbax_available, save_sharded,
+    )
+
+    mesh = make_mesh(4, 2)
+    x = jnp.arange(64.0, dtype=jnp.float32).reshape(8, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("nodes", "feat")))
+    tree = {"w": xs, "step": jnp.asarray(7)}
+    save_sharded(tmp_path / "state", tree)
+    back = load_sharded(tmp_path / "state")
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(x))
+    assert int(back["step"]) == 7
+    if orbax_available():
+        # restore onto the mesh layout
+        like = {"w": xs, "step": jnp.asarray(0)}
+        back2 = load_sharded(tmp_path / "state", like=like)
+        assert back2["w"].sharding == xs.sharding
