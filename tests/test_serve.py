@@ -138,3 +138,33 @@ class TestHTTP:
             assert ei.value.code == 400
         finally:
             server.shutdown()
+
+
+def test_serve_cli_starts(trained, tmp_path, monkeypatch):
+    """CLI wires artifacts -> engine -> bound server."""
+    import sys
+    import threading
+
+    import sgc_tpu.cli.serve as serve_cli
+    from sgc_tpu.utils.checkpoint import save_params
+
+    params, feats, y = trained
+    save_params(tmp_path / "model", params)
+    np.save(tmp_path / "feats.npy", feats)
+
+    bound = {}
+
+    def fake_forever(self):
+        bound["addr"] = self.server_address
+        self.server_close()
+
+    monkeypatch.setattr(
+        "http.server.HTTPServer.serve_forever", fake_forever
+    )
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "--params", str(tmp_path / "model"),
+        "--features", str(tmp_path / "feats.npy"),
+        "--port", "0", "--max_batch", "16",
+    ])
+    serve_cli.main()
+    assert bound["addr"][1] > 0
