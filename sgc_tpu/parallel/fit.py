@@ -24,7 +24,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sgc_tpu.graph.sparse import SparseGraph
 from sgc_tpu.parallel.halo import build_halo
-from sgc_tpu.parallel.mesh import NODES_AXIS, default_mesh_shape, make_mesh
+from sgc_tpu.parallel.mesh import (
+    FEAT_AXIS,
+    NODES_AXIS,
+    default_mesh_shape,
+    make_mesh,
+)
 from sgc_tpu.parallel.partition import (
     pad_feature_dim,
     pad_node_rows,
@@ -68,7 +73,7 @@ def fit_sharded(
         )
         mesh = make_mesh(n_nodes_parts, n_feat_parts)
     n_parts = mesh.shape[NODES_AXIS]
-    n_feat_parts = mesh.shape["feat"]
+    n_feat_parts = mesh.shape[FEAT_AXIS]
 
     pgraph = partition_graph(graph, n_parts)
     halo = build_halo(pgraph) if use_halo else None
