@@ -1,0 +1,97 @@
+"""Scaling-efficiency benchmark CLI (edges/s at 1..N devices).
+
+The BASELINE north star requires edges/s scaling efficiency reported at
+1 chip, 1 host, and N hosts. This CLI measures it on whatever devices are
+visible — a real slice, or a virtual CPU mesh for pre-flight:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m sgc_tpu.cli.scaling --nodes 100000 --edges 2000000
+
+Prints one line per device count (1, 2, 4, ... N): single-device rate,
+sharded rate, parallel efficiency, halo fraction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nodes", type=int, default=100_000)
+    p.add_argument("--edges", type=int, default=2_000_000)
+    p.add_argument("--features", type=int, default=128)
+    p.add_argument("--hops", type=int, default=2)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--clustered", action="store_true",
+                   help="block-clustered graph (halo exchange wins)")
+    p.add_argument("--reorder", default="none",
+                   choices=("none", "rcm", "bfs", "degree", "spectral"))
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    a = p.parse_args()
+
+    import jax
+    import scipy.sparse as sp
+
+    from sgc_tpu.graph.normalize import aug_normalized_adjacency
+    from sgc_tpu.graph.reorder import apply_order, fetch_ordering
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.parallel.scaling import measure_spmm_scaling
+
+    rng = np.random.default_rng(a.seed)
+    n, e = a.nodes, a.edges
+    if a.clustered:
+        n_dev = len(jax.devices())
+        blocks = rng.integers(0, n_dev, n)
+        src = rng.integers(0, n, e)
+        # 90% of edges stay within the source's block
+        same = rng.random(e) < 0.9
+        dst = np.where(
+            same,
+            # random node from the same block (approximate via rejection-free
+            # trick: pick any node, then snap its block)
+            (rng.integers(0, n, e) // n_dev) * n_dev + blocks[src],
+            rng.integers(0, n, e),
+        ) % n
+    else:
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+    adj = sp.coo_matrix(
+        (np.ones(e, np.float32), (src, dst)), shape=(n, n)
+    )
+    adj = (adj + adj.T).tocsr()
+    if a.reorder != "none":
+        order = fetch_ordering(a.reorder)(adj)
+        adj, = apply_order(adj, order)
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
+    x = rng.standard_normal((n, a.features)).astype(np.float32)
+
+    n_total = len(jax.devices())
+    counts = []
+    d = 2
+    while d < n_total:
+        counts.append(d)
+        d *= 2
+    counts.append(n_total)
+    for nd in counts:
+        rep = measure_spmm_scaling(
+            graph, x, n_devices=nd, hops=a.hops, repeats=a.repeats
+        )
+        if a.json:
+            print(json.dumps({
+                "devices": rep.n_devices,
+                "single_edges_per_s": rep.single_rate,
+                "sharded_edges_per_s": rep.sharded_rate,
+                "efficiency": rep.efficiency,
+                "halo_fraction": rep.halo_fraction,
+            }))
+        else:
+            print(rep)
+
+
+if __name__ == "__main__":
+    main()
