@@ -20,8 +20,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import pickle
-from pathlib import Path
 
 from sgc_tpu.textgraph.graph import TextCorpus, TextGraphBuilder
 
@@ -46,7 +44,7 @@ def build_and_export(
         emb = load_embedding_map(embeddings)
 
     tc = TextCorpus.from_files(metadata, corpus)
-    built = TextGraphBuilder(
+    builder = TextGraphBuilder(
         window=window,
         pivoted_tfidf=pivoted,
         chi2_p_value=p_value,
@@ -54,21 +52,9 @@ def build_and_export(
         embeddings=emb,
         val_fraction=val_fraction,
         seed=seed,
-    ).build(tc)
-
-    out_dir = Path(out)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    for subset, adj in built["adjs"].items():
-        with open(out_dir / f"ind.{dataset}.{subset}.adj", "wb") as f:
-            pickle.dump(adj, f)
-    for phase in ("train", "val", "test"):
-        with open(out_dir / f"ind.{dataset}.{phase}.x", "wb") as f:
-            pickle.dump(built["index_dict"][phase], f)
-        with open(out_dir / f"ind.{dataset}.{phase}.y", "wb") as f:
-            pickle.dump(built["label_dict"][phase], f)
-    with open(out_dir / f"ind.{dataset}.vocab", "wb") as f:
-        pickle.dump(built["vocab"], f)
-    return built
+    )
+    # single exporter: TextGraphBuilder.export owns the artifact contract
+    return builder.export(tc, dataset, out)
 
 
 def main() -> None:

@@ -45,18 +45,19 @@ def main() -> None:
     rng = np.random.default_rng(a.seed)
     n, e = a.nodes, a.edges
     if a.clustered:
+        # locality the row-block partitioner can exploit: blocks are
+        # CONTIGUOUS node ranges (partition p owns rows [p*R, (p+1)*R)),
+        # and 90% of edges stay within the source's range
         n_dev = len(jax.devices())
-        blocks = rng.integers(0, n_dev, n)
+        block_size = -(-n // n_dev)
         src = rng.integers(0, n, e)
-        # 90% of edges stay within the source's block
         same = rng.random(e) < 0.9
-        dst = np.where(
-            same,
-            # random node from the same block (approximate via rejection-free
-            # trick: pick any node, then snap its block)
-            (rng.integers(0, n, e) // n_dev) * n_dev + blocks[src],
-            rng.integers(0, n, e),
-        ) % n
+        block_start = (src // block_size) * block_size
+        block_end = np.minimum(block_start + block_size, n)
+        local = block_start + rng.integers(0, block_size, e) % (
+            block_end - block_start
+        )
+        dst = np.where(same, local, rng.integers(0, n, e))
     else:
         src = rng.integers(0, n, e)
         dst = rng.integers(0, n, e)

@@ -20,17 +20,29 @@ _LIB_PATH = _HERE / "libgraphprep.so"
 _lib = None
 
 
+def _stale() -> bool:
+    """Rebuild when graphprep.cpp is newer than the compiled library —
+    a stale binary silently running old code is worse than a 2s rebuild."""
+    src = _HERE / "graphprep.cpp"
+    try:
+        return src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _try_load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and os.environ.get("SGC_TPU_NO_NATIVE") != "1":
+    if os.environ.get("SGC_TPU_NO_NATIVE") == "1":
+        return None
+    if not _LIB_PATH.exists() or _stale():
         try:
             from sgc_tpu.native.build import build
 
             build(verbose=False)
         except Exception:
-            return None
+            pass  # fall through: a pre-built (possibly stale) lib or None
     if not _LIB_PATH.exists():
         return None
     try:

@@ -346,9 +346,29 @@ def spmm_pallas(
             jax.default_backend() != "tpu"
             or os.environ.get("SGC_TPU_PALLAS_INTERPRET") == "1"
         )
-    tiled = tile_graph(graph, row_block, stripe, chunk)
+    tiled = _tile_cached(graph, row_block, stripe, chunk)
     out = spmm_pallas_tiled(tiled, x, feature_tile, interpret=interpret)
     return out[: graph.n_rows, : x.shape[1]]
+
+
+# Host-side tiling is O(E log E); a K-hop loop must not re-tile per hop.
+# Keyed on the edge-array buffer identity + tile params; bounded size.
+_TILE_CACHE: dict = {}
+_TILE_CACHE_MAX = 8
+
+
+def _tile_cached(graph: SparseGraph, row_block, stripe, chunk) -> TiledGraph:
+    key = (id(graph.rows), id(graph.cols), id(graph.vals),
+           graph.nnz, row_block, stripe, chunk)
+    hit = _TILE_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    tiled = tile_graph(graph, row_block, stripe, chunk)
+    if len(_TILE_CACHE) >= _TILE_CACHE_MAX:
+        _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
+    # pin the source arrays so their ids cannot be recycled while cached
+    _TILE_CACHE[key] = (graph.rows, graph.cols, graph.vals, tiled)
+    return tiled
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +413,11 @@ def sddmm_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     e_pad = graph.rows.shape[0]
-    C = min(chunk, e_pad)
+    # the chunk grid must tile e_pad exactly (floor division would leave
+    # the output tail uninitialized); snap to the largest divisor <= chunk
+    import math
+
+    C = math.gcd(min(chunk, e_pad), e_pad)
     n_chunks = e_pad // C
 
     out = pl.pallas_call(

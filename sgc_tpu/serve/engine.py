@@ -162,9 +162,18 @@ class InferenceEngine:
         n = len(node_ids)
         if n == 0:
             return np.zeros((0, self.params.w.shape[1]), np.float32)
+        arr = np.asarray(node_ids)
+        n_nodes = int(self._features.shape[0])
+        # XLA gather clamps out-of-range indices, which would return a
+        # confidently wrong row for a client bug — reject instead
+        if arr.size and (arr.min() < 0 or arr.max() >= n_nodes):
+            bad = arr[(arr < 0) | (arr >= n_nodes)][0]
+            raise ValueError(
+                f"node id {int(bad)} out of range [0, {n_nodes})"
+            )
         b = self.bucket_for(n)
         ids = np.zeros(b, np.int32)
-        ids[:n] = np.asarray(node_ids, np.int32)
+        ids[:n] = arr.astype(np.int32)
         t0 = time.perf_counter()
         out = np.asarray(self._call(jnp.asarray(ids)))[:n]
         self.stats.observe(n, time.perf_counter() - t0)

@@ -111,23 +111,41 @@ class WordEmbedder:
         if want == "hash":
             self._backend = "hash"
             return self._backend
+        errors: list[str] = []
         try:
             from transformers import AutoTokenizer  # noqa: F401
-        except Exception:
-            self._backend = "hash"
-            return self._backend
-        order = {
-            "auto": ("flax", "torch"),
-            "flax": ("flax",),
-            "torch": ("torch",),
-        }[want]
-        for cand in order:
-            try:
-                self._load_model(cand)
-                self._backend = cand
-                return self._backend
-            except Exception:
-                continue
+        except Exception as e:
+            errors.append(f"transformers unavailable: {e}")
+        else:
+            order = {
+                "auto": ("flax", "torch"),
+                "flax": ("flax",),
+                "torch": ("torch",),
+            }[want]
+            for cand in order:
+                try:
+                    self._load_model(cand)
+                    self._backend = cand
+                    return self._backend
+                except Exception as e:
+                    errors.append(f"{cand}: {type(e).__name__}: {e}")
+        if want != "auto":
+            # an explicitly requested backend must not silently degrade
+            # into hash pseudo-embeddings — downstream cosine edge weights
+            # would be garbage with no error
+            raise RuntimeError(
+                f"embedding backend {want!r} for model "
+                f"{self.config.model_name!r} failed to load: "
+                + "; ".join(errors)
+            )
+        import warnings
+
+        warnings.warn(
+            "no pretrained embedding backend available "
+            f"({'; '.join(errors)}); falling back to deterministic hash "
+            "pseudo-embeddings",
+            stacklevel=3,
+        )
         self._backend = "hash"
         return self._backend
 

@@ -358,6 +358,9 @@ class TextGraphBuilder:
             f.write("\n".join(res["vocab"]))
         with open(out_dir / f"{dataset}_labels.txt", "w") as f:
             f.write("\n".join(res["label_names"]))
+        # pickled vocab list for the embedding CLI (--vocab input)
+        with open(out_dir / f"ind.{dataset}.vocab", "wb") as f:
+            pickle.dump(res["vocab"], f)
         return res
 
 

@@ -38,22 +38,46 @@ class FinetuneConfig:
     from_config: bool = False      # random init (offline) instead of weights
 
 
+# flax module names that constitute the classification head across HF
+# architectures: BERT family uses 'classifier', XLNet 'logits_proj' (+
+# 'sequence_summary'), some models 'score'
+_HEAD_KEYS = ("classifier", "logits_proj", "sequence_summary", "score")
+
+
 def _head_mask(params) -> object:
-    """Pytree of {0,1} multipliers: 1 for classifier head leaves, 0 for
-    encoder leaves — the head-only fine-tuning group."""
+    """Pytree of {0,1} multipliers: 1 for classifier-head leaves, 0 for
+    encoder leaves — the head-only fine-tuning group. Raises if no head
+    module is recognized (an all-zero mask would silently freeze the
+    whole model and make fine-tuning a no-op)."""
     import jax
+
+    found = {"head": False}
 
     def walk(tree, under_head):
         if isinstance(tree, dict):
             return {
-                k: walk(v, under_head or "classifier" in k.lower())
+                k: walk(
+                    v,
+                    under_head
+                    or any(h in k.lower() for h in _HEAD_KEYS),
+                )
                 for k, v in tree.items()
             }
+        if under_head:
+            found["head"] = True
         return jax.tree_util.tree_map(
             lambda x: 1.0 if under_head else 0.0, tree
         )
 
-    return walk(params, False)
+    mask = walk(params, False)
+    if not found["head"]:
+        top = list(params) if isinstance(params, dict) else type(params)
+        raise ValueError(
+            "head_only=True but no classification-head module recognized "
+            f"(looked for {_HEAD_KEYS} among param keys; top-level: {top}). "
+            "Pass head_only=False or rename/extend _HEAD_KEYS."
+        )
+    return mask
 
 
 def finetune_pretrained(

@@ -143,3 +143,21 @@ class TestSkipgram:
         w2v = Word2Vec(Word2VecConfig(dim=4)).train([])
         assert w2v.vectors.shape == (0, 4)
         assert w2v.most_similar("anything") == []
+
+
+def test_explicit_backend_failure_raises():
+    """An explicitly requested backend must not silently degrade to hash."""
+    emb = WordEmbedder(EmbedderConfig(
+        backend="torch", model_name="no/such-model-xyz"
+    ))
+    with pytest.raises(RuntimeError, match="failed to load"):
+        emb.embed_words(["word"])
+
+
+def test_auto_backend_warns_then_hashes():
+    emb = WordEmbedder(EmbedderConfig(
+        backend="auto", model_name="no/such-model-xyz", hash_dim=8
+    ))
+    with pytest.warns(UserWarning, match="hash"):
+        table = emb.embed_words(["word"])
+    assert table["word"].shape == (8,)

@@ -64,3 +64,22 @@ def test_head_only_mask_structure(tiny_bert):
     enc = [v for p, v in leaves_with_path if "classifier" not in str(p).lower()]
     assert head and all(float(np.ravel(v)[0]) == 1.0 for v in head)
     assert enc and all(float(np.ravel(v)[0]) == 0.0 for v in enc)
+
+
+def test_head_mask_rejects_unrecognized_structure():
+    from sgc_tpu.train.finetune import _head_mask
+
+    with pytest.raises(ValueError, match="no classification-head"):
+        _head_mask({"encoder": {"w": np.zeros(2)}})
+
+
+def test_head_mask_recognizes_xlnet_style_names():
+    from sgc_tpu.train.finetune import _head_mask
+
+    params = {
+        "transformer": {"w": np.zeros(2)},
+        "logits_proj": {"kernel": np.zeros(2)},
+    }
+    mask = _head_mask(params)
+    assert float(np.ravel(mask["logits_proj"]["kernel"])[0]) == 1.0
+    assert float(np.ravel(mask["transformer"]["w"])[0]) == 0.0

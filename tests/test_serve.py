@@ -168,3 +168,15 @@ def test_serve_cli_starts(trained, tmp_path, monkeypatch):
     ])
     serve_cli.main()
     assert bound["addr"][1] > 0
+
+
+def test_out_of_range_node_ids_rejected(trained):
+    params, feats, _ = trained
+    eng = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(min_batch=4, max_batch=8, warmup=False),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        eng.predict([0, len(feats)])
+    with pytest.raises(ValueError, match="out of range"):
+        eng.predict([-1])

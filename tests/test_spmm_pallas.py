@@ -132,3 +132,35 @@ def test_spmm_dispatch_pallas_impl():
     np.testing.assert_allclose(
         np.asarray(out), m @ np.asarray(x), rtol=3e-2, atol=3e-2
     )
+
+
+def test_sddmm_pallas_nondividing_chunk():
+    """Chunk sizes that don't divide the padded edge count still cover
+    every edge (regression: floor division left the tail uninitialized)."""
+    graph, m = _graph(n_rows=128, n_cols=128, e=700, seed=11)
+    rng = np.random.default_rng(12)
+    a = jnp.asarray(rng.standard_normal((128, 16), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((128, 16), dtype=np.float32))
+    ours = sddmm_pallas(graph, a, b, chunk=768, interpret=True)
+    oracle = sddmm(graph, a, b)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(oracle), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_tile_cache_reused():
+    from sgc_tpu.ops import spmm_pallas as mod
+
+    graph, _ = _graph(n_rows=96, n_cols=96, e=400, seed=13)
+    x = jnp.asarray(
+        np.random.default_rng(14).standard_normal((96, 8), dtype=np.float32)
+    )
+    mod._TILE_CACHE.clear()
+    mod.spmm_pallas(graph, x, row_block=32, stripe=32, chunk=16,
+                    interpret=True)
+    assert len(mod._TILE_CACHE) == 1
+    entry = next(iter(mod._TILE_CACHE.values()))
+    mod.spmm_pallas(graph, x, row_block=32, stripe=32, chunk=16,
+                    interpret=True)
+    assert len(mod._TILE_CACHE) == 1
+    assert next(iter(mod._TILE_CACHE.values())) is entry
