@@ -11,3 +11,11 @@ from sgc_tpu.ops.sampling import (  # noqa: F401
 )
 
 __all__ += ["sample_neighbors", "sampled_propagate", "sampled_sgc_infer"]
+
+from sgc_tpu.ops.propagate import (  # noqa: F401
+    fetch_propagator,
+    propagate_appnp,
+    propagate_ssgc,
+)
+
+__all__ += ["fetch_propagator", "propagate_appnp", "propagate_ssgc"]

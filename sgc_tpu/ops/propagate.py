@@ -174,3 +174,61 @@ def text_structural_features(
     feat_dict = {p: apply_minmax(stats, f) for p, f in per_phase.items()}
     sync(feat_dict)
     return feat_dict, perf_counter() - t
+
+
+@partial(jax.jit, static_argnames=("degree", "impl"))
+def propagate_appnp(
+    x: jnp.ndarray,
+    graph: SparseGraph,
+    degree: int,
+    alpha: float = 0.1,
+    impl: str = "auto",
+):
+    """APPNP propagation: z_{k+1} = (1-a) S z_k + a x (personalized
+    PageRank; Klicpera et al. 2019). Reduces to SGC at alpha=0.
+
+    The teleport term keeps local information at every depth — the
+    standard fix for SGC's oversmoothing at large K. Same precompute
+    factorization: run once, train the head many times.
+    """
+    z = x
+    for _ in range(degree):
+        z = (1.0 - alpha) * spmm(graph, z, impl=impl) + alpha * x
+    return z
+
+
+@partial(jax.jit, static_argnames=("degree", "impl"))
+def propagate_ssgc(
+    x: jnp.ndarray,
+    graph: SparseGraph,
+    degree: int,
+    alpha: float = 0.05,
+    impl: str = "auto",
+):
+    """SSGC propagation: mean of all hop depths plus a teleport term
+    (Zhu & Koniusz 2021, "Simple Spectral Graph Convolution"):
+        z = (1/K) sum_{k=1..K} ((1-a) S^k x + a x).
+    Averaging the hop spectrum is the other standard oversmoothing fix.
+    """
+    acc = jnp.zeros_like(x)
+    z = x
+    for _ in range(degree):
+        z = spmm(graph, z, impl=impl)
+        acc = acc + (1.0 - alpha) * z + alpha * x
+    return acc / degree
+
+
+PROPAGATORS = {
+    "sgc": propagate,
+    "appnp": propagate_appnp,
+    "ssgc": propagate_ssgc,
+}
+
+
+def fetch_propagator(name: str):
+    """Registry over propagation schemes (sgc | appnp | ssgc)."""
+    if name not in PROPAGATORS:
+        raise ValueError(
+            f"unknown propagator {name!r}; one of {list(PROPAGATORS)}"
+        )
+    return PROPAGATORS[name]

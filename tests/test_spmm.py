@@ -99,3 +99,68 @@ def test_spmm_deterministic():
     a = np.asarray(spmm(g, x))
     b = np.asarray(spmm(g, x))
     np.testing.assert_array_equal(a, b)
+
+
+class TestPropagationVariants:
+    def _setup(self, n=100, e=800, f=8, seed=0):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        from sgc_tpu.graph.normalize import aug_normalized_adjacency
+
+        rng = np.random.default_rng(seed)
+        adj = sp.coo_matrix(
+            (np.ones(e, np.float32),
+             (rng.integers(0, n, e), rng.integers(0, n, e))),
+            shape=(n, n),
+        )
+        graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+        x = jnp.asarray(rng.standard_normal((n, f), dtype=np.float32))
+        return graph, x
+
+    def test_appnp_alpha_zero_is_sgc(self):
+        from sgc_tpu.ops.propagate import propagate, propagate_appnp
+
+        graph, x = self._setup()
+        appnp = propagate_appnp(x, graph, 3, alpha=0.0)
+        sgc = propagate(x, graph, 3)
+        np.testing.assert_allclose(
+            np.asarray(appnp), np.asarray(sgc), rtol=1e-5, atol=1e-6
+        )
+
+    def test_appnp_matches_recurrence_oracle(self):
+        from sgc_tpu.ops.propagate import propagate_appnp
+
+        graph, x = self._setup(seed=1)
+        s = graph.to_scipy()
+        xn = np.asarray(x)
+        z = xn.copy()
+        for _ in range(4):
+            z = 0.9 * (s @ z) + 0.1 * xn
+        ours = propagate_appnp(x, graph, 4, alpha=0.1)
+        np.testing.assert_allclose(np.asarray(ours), z, rtol=1e-4, atol=1e-5)
+
+    def test_ssgc_matches_sum_oracle(self):
+        from sgc_tpu.ops.propagate import propagate_ssgc
+
+        graph, x = self._setup(seed=2)
+        s = graph.to_scipy()
+        xn = np.asarray(x)
+        acc, z = np.zeros_like(xn), xn.copy()
+        k, a = 3, 0.05
+        for _ in range(k):
+            z = s @ z
+            acc += (1 - a) * z + a * xn
+        ours = propagate_ssgc(x, graph, k, alpha=a)
+        np.testing.assert_allclose(
+            np.asarray(ours), acc / k, rtol=1e-4, atol=1e-5
+        )
+
+    def test_registry(self):
+        import pytest as _pytest
+
+        from sgc_tpu.ops.propagate import fetch_propagator, propagate
+
+        assert fetch_propagator("sgc") is propagate
+        with _pytest.raises(ValueError):
+            fetch_propagator("bogus")
