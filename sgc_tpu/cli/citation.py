@@ -22,7 +22,11 @@ from sgc_tpu.utils.config import CitationConfig
 from sgc_tpu.utils.seeding import set_seed
 
 
-def run(cfg: CitationConfig, data_path: str | None = None) -> dict:
+def run(
+    cfg: CitationConfig,
+    data_path: str | None = None,
+    propagator: str = "sgc",
+) -> dict:
     cfg = cfg.resolve()
     key = set_seed(cfg.seed)
     data = load_citation(cfg.dataset, cfg.normalization, data_path)
@@ -31,9 +35,21 @@ def run(cfg: CitationConfig, data_path: str | None = None) -> dict:
 
     if cfg.model == "SGC":
         params = init_fn(key, data.features.shape[1], data.n_classes)
-        features, precompute_time = sgc_precompute(
-            data.features, data.graph, cfg.degree
-        )
+        if propagator == "sgc":
+            features, precompute_time = sgc_precompute(
+                data.features, data.graph, cfg.degree
+            )
+        else:  # appnp / ssgc propagation schemes, same factorization
+            from time import perf_counter
+
+            from sgc_tpu.ops.propagate import fetch_propagator
+            from sgc_tpu.utils.profiling import sync
+
+            prop = fetch_propagator(propagator)
+            t0 = perf_counter()
+            features = prop(data.features, data.graph, cfg.degree)
+            sync(features)
+            precompute_time = perf_counter() - t0
         train_x = features[data.idx_train]
         train_y = data.labels[data.idx_train]
         params, train_time = train_regression(
@@ -79,6 +95,9 @@ def main() -> None:
     parser.add_argument("--hidden", type=int, default=0)
     parser.add_argument("--dropout", type=float, default=0.0)
     parser.add_argument("--model", default="SGC", choices=["SGC", "GCN"])
+    parser.add_argument("--propagator", default="sgc",
+                        choices=["sgc", "appnp", "ssgc"],
+                        help="propagation scheme for the SGC path")
     parser.add_argument("--normalization", default="AugNormAdj")
     parser.add_argument("--degree", type=int, default=2)
     parser.add_argument("--tuned", action="store_true")
@@ -101,7 +120,7 @@ def main() -> None:
     if cfg.tuned:
         cfg.resolve()
         print(f"using tuned weight decay: {cfg.weight_decay}")
-    res = run(cfg, args.data_path)
+    res = run(cfg, args.data_path, propagator=args.propagator)
     print(
         "Validation Accuracy: {:.4f} Test Accuracy: {:.4f}".format(
             res["val_accuracy"], res["test_accuracy"]

@@ -65,3 +65,16 @@ def test_sweep_cli_reproduces_golden_at_k2():
     assert by_k[2]["test_acc"] >= 0.805   # golden 0.810
     # deeper propagation beats K=1 on cora
     assert by_k[2]["test_acc"] > by_k[1]["test_acc"]
+
+
+@requires_cora
+def test_appnp_beats_sgc_on_cora():
+    """Deep teleport propagation exceeds the reference's 81.0 golden."""
+    from sgc_tpu.cli.citation import run
+    from sgc_tpu.utils.config import CitationConfig
+
+    res = run(
+        CitationConfig(dataset="cora", tuned=True, degree=16),
+        None, propagator="appnp",
+    )
+    assert res["test_accuracy"] >= 0.825
