@@ -75,6 +75,7 @@ def make_sharded_train_step(
     degree: int = 0,
     lr: float = 0.2,
     weight_decay: float = 0.0,
+    halo=None,
 ):
     """Build a jitted SPMD train step closed over the partitioned graph.
 
@@ -87,12 +88,26 @@ def make_sharded_train_step(
     tx = torch_adam(lr, weight_decay)
     rows_per_part = pgraph.rows_per_part
 
-    def body(w, b, mu, nu, count, rows_l, cols, vals, x, labels, mask):
+    def body(w, b, mu, nu, count, rows_l, cols, vals, send_idx, x, labels,
+             mask):
         rows_l, cols, vals = rows_l[0], cols[0], vals[0]
 
-        for _ in range(degree):
-            x_full = jax.lax.all_gather(x, NODES_AXIS, axis=0, tiled=True)
-            x = _local_spmm(rows_l, cols, vals, x_full, rows_per_part)
+        if halo is not None:
+            from sgc_tpu.parallel.halo import exchange_and_spmm
+
+            # cols here are halo-buffer positions (HaloDescriptor layout):
+            # per hop, exchange only boundary rows over ICI
+            si = send_idx[0]
+            for _ in range(degree):
+                x = exchange_and_spmm(
+                    rows_l, cols, vals, si, x, rows_per_part
+                )
+        else:
+            for _ in range(degree):
+                x_full = jax.lax.all_gather(
+                    x, NODES_AXIS, axis=0, tiled=True
+                )
+                x = _local_spmm(rows_l, cols, vals, x_full, rows_per_part)
 
         denom = jax.lax.psum(jnp.sum(mask), NODES_AXIS)
 
@@ -153,6 +168,7 @@ def make_sharded_train_step(
             SGCParams(w=w_spec, b=b_spec),                    # nu
             P(),                                              # count
             edge_spec, edge_spec, edge_spec,                  # graph
+            P(NODES_AXIS, None, None),                        # halo send_idx
             P(NODES_AXIS, FEAT_AXIS),                         # x
             P(NODES_AXIS), P(NODES_AXIS),                     # labels, mask
         ),
@@ -172,9 +188,14 @@ def make_sharded_train_step(
         for s in state.opt_state:
             if isinstance(s, optax.ScaleByAdamState):
                 count, mu, nu = s.count, s.mu, s.nu
+        edge_cols = halo.cols_halo if halo is not None else pgraph.cols
+        send_idx = (
+            halo.send_idx if halo is not None
+            else jnp.zeros((pgraph.n_parts, pgraph.n_parts, 1), jnp.int32)
+        )
         w, b, mu, nu, count, loss = sharded_body(
             state.params.w, state.params.b, mu, nu, count,
-            pgraph.rows_local, pgraph.cols, pgraph.vals,
+            pgraph.rows_local, edge_cols, pgraph.vals, send_idx,
             x, labels, mask,
         )
         opt_state = tuple(

@@ -139,3 +139,65 @@ class TestScalingHarness:
                   "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
             monkeypatch.delenv(k, raising=False)
         assert init_distributed() is False
+
+
+class TestHaloTrainStep:
+    def test_halo_step_matches_allgather_step(self):
+        """degree>0 training with halo exchange inside the SPMD body
+        produces the same losses as the all-gather body."""
+        import scipy.sparse as sp
+
+        from sgc_tpu.graph.normalize import aug_normalized_adjacency
+        from sgc_tpu.parallel.halo import build_halo
+        from sgc_tpu.parallel.mesh import make_mesh
+        from sgc_tpu.parallel.partition import (
+            pad_feature_dim, pad_node_rows, partition_graph,
+        )
+        from sgc_tpu.parallel.spmm import shard_features
+        from sgc_tpu.parallel.train import (
+            init_sharded_state, make_sharded_train_step,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sgc_tpu.parallel.mesh import NODES_AXIS
+
+        rng = np.random.default_rng(0)
+        n, e, f, c = 96, 700, 24, 4
+        adj = sp.coo_matrix(
+            (np.ones(e, np.float32),
+             (rng.integers(0, n, e), rng.integers(0, n, e))),
+            shape=(n, n),
+        )
+        graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+        mesh = make_mesh(4, 1)
+        pgraph = partition_graph(graph, 4)
+        halo = build_halo(pgraph)
+
+        x = jnp.asarray(rng.standard_normal((n, f), dtype=np.float32))
+        x = pad_node_rows(pad_feature_dim(x, 8), pgraph.n_rows_padded)
+        xs = shard_features(mesh, x)
+        y = pad_node_rows(
+            jnp.asarray(rng.integers(0, c, n), jnp.int32),
+            pgraph.n_rows_padded,
+        )
+        m = pad_node_rows(jnp.ones(n, jnp.float32), pgraph.n_rows_padded)
+        y = jax.device_put(y, NamedSharding(mesh, P(NODES_AXIS)))
+        m = jax.device_put(m, NamedSharding(mesh, P(NODES_AXIS)))
+
+        losses = {}
+        for name, h in (("allgather", None), ("halo", halo)):
+            state = init_sharded_state(
+                mesh, jax.random.PRNGKey(0), int(xs.shape[1]), c,
+                lr=0.2, weight_decay=0.0,
+            )
+            step = make_sharded_train_step(
+                mesh, pgraph, degree=2, lr=0.2, weight_decay=0.0, halo=h,
+            )
+            ls = []
+            s = state
+            for _ in range(5):
+                s, l = step(s, xs, y, m)
+                ls.append(float(l))
+            losses[name] = ls
+        np.testing.assert_allclose(
+            losses["halo"], losses["allgather"], rtol=1e-4, atol=1e-5
+        )
