@@ -190,3 +190,31 @@ def test_devices_cli(capsys):
     main()
     out = capsys.readouterr().out
     assert "backend" in out and "smoke test: OK" in out
+
+
+def test_binary_mr_path(tmp_path):
+    """The 'mr' dataset triggers the binary sigmoid+BCE path end-to-end."""
+    rng = np.random.default_rng(0)
+    words = {0: ["dull", "boring", "flat"], 1: ["great", "moving", "superb"]}
+    meta_lines, docs = [], []
+    for i in range(40):
+        y = i % 2
+        phase = "train" if i < 30 else "test"
+        meta_lines.append(f"d{i}\t{phase}\t{y}")
+        docs.append(" ".join(rng.choice(words[y], 10)))
+    (tmp_path / "mr.txt").write_text("\n".join(meta_lines))
+    (tmp_path / "mr.clean.txt").write_text("\n".join(docs))
+
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.cli.textsgc import run
+    from sgc_tpu.utils.config import TextConfig
+
+    build_and_export(
+        str(tmp_path / "mr.txt"), str(tmp_path / "mr.clean.txt"), "mr",
+        str(tmp_path), window=4, val_fraction=0.1,
+    )
+    res = run(
+        TextConfig(dataset="mr", epochs=3, weight_decay=0.0, degree=2),
+        subset="BCD", data_path=str(tmp_path),
+    )
+    assert res["test_accuracy"] > 0.9  # separable vocabulary
