@@ -130,7 +130,14 @@ class Word2Vec:
         self.word_id: dict[str, int] = {}
         self.vectors: np.ndarray | None = None
 
-    def train(self, docs: Sequence[Sequence[str]]) -> "Word2Vec":
+    def train(
+        self,
+        docs: Sequence[Sequence[str]],
+        init_vectors: dict[str, np.ndarray] | None = None,
+    ) -> "Word2Vec":
+        """Fit on a corpus. ``init_vectors`` warm-starts words found in a
+        pretrained map (the reference fine-tunes GoogleNews vectors,
+        word2vec.py:16-76); out-of-map words get random init."""
         cfg = self.config
         self.vocab, self.word_id, freq = build_vocab(docs, cfg.min_count)
         v = len(self.vocab)
@@ -148,10 +155,16 @@ class Word2Vec:
 
         key = jax.random.PRNGKey(cfg.seed)
         k_init, key = jax.random.split(key)
-        in_emb = (
+        in_np = np.array(
             jax.random.uniform(k_init, (v, cfg.dim), jnp.float32, -0.5, 0.5)
             / cfg.dim
-        )
+        )  # writable host copy (np.asarray of a jax array is read-only)
+        if init_vectors:
+            for i, w in enumerate(self.vocab):
+                vec = init_vectors.get(w)
+                if vec is not None and len(vec) == cfg.dim:
+                    in_np[i] = np.asarray(vec, np.float32)
+        in_emb = jnp.asarray(in_np)
         out_emb = jnp.zeros((v, cfg.dim), jnp.float32)
         params = (in_emb, out_emb)
 

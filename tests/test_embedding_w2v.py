@@ -161,3 +161,15 @@ def test_auto_backend_warns_then_hashes():
     with pytest.warns(UserWarning, match="hash"):
         table = emb.embed_words(["word"])
     assert table["word"].shape == (8,)
+
+
+def test_w2v_pretrained_init_finetune():
+    """Warm-start from a pretrained map (GoogleNews fine-tune analog)."""
+    pre = {"cat": np.full(8, 0.5, np.float32)}
+    docs = [["cat", "dog"]] * 5
+    w2v = Word2Vec(Word2VecConfig(dim=8, epochs=0, batch_size=4)).train(
+        docs, init_vectors=pre
+    )
+    # epochs=0: vectors stay at init -> cat keeps the pretrained vector
+    np.testing.assert_allclose(w2v["cat"], pre["cat"])
+    assert not np.allclose(w2v["dog"], pre["cat"])
