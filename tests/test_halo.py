@@ -82,3 +82,57 @@ def test_halo_random_graph_parity():
     xs = shard_features(mesh, xp)
     out = np.asarray(spmm_sharded(mesh, pg, xs, halo=halo))
     np.testing.assert_allclose(out[:100, :8], a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_with_empty_partitions():
+    """All edges land in partition 0's rows; other parts have zero edges.
+    The exchange plan and sharded SpMM must still be correct."""
+    import scipy.sparse as sp
+
+    from sgc_tpu.parallel.partition import pad_node_rows
+
+    rng = np.random.default_rng(0)
+    n, e = 64, 300
+    rows = rng.integers(0, n // 4, e)       # destinations only in part 0
+    cols = rng.integers(0, n, e)            # sources span every part
+    adj = sp.coo_matrix(
+        (rng.random(e).astype(np.float32), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    adj.sum_duplicates()
+    graph = SparseGraph.from_scipy(adj)
+    pgraph = partition_graph(graph, 4)
+    halo = build_halo(pgraph)
+    mesh = make_mesh(4, 1)
+
+    x = jnp.asarray(rng.standard_normal((n, 8), dtype=np.float32))
+    xs = shard_features(mesh, pad_node_rows(x, pgraph.n_rows_padded))
+    out = spmm_sharded(mesh, pgraph, xs, halo=halo)
+    expect = adj @ np.asarray(x)
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], expect, rtol=1e-5, atol=1e-5
+    )
+    # empty parts produce all-zero rows
+    assert np.allclose(np.asarray(out)[n // 4 : n], 0.0)
+
+
+def test_halo_single_row_per_part_graph():
+    """Tiny pathological case: 4 nodes, 4 parts, ring edges."""
+    import scipy.sparse as sp
+
+    from sgc_tpu.parallel.partition import pad_node_rows
+
+    n = 4
+    adj = sp.coo_matrix(
+        (np.ones(4, np.float32), ([0, 1, 2, 3], [1, 2, 3, 0])),
+        shape=(n, n),
+    ).tocsr()
+    graph = SparseGraph.from_scipy(adj)
+    pgraph = partition_graph(graph, 4)
+    halo = build_halo(pgraph)
+    mesh = make_mesh(4, 1)
+    x = jnp.asarray(np.eye(4, 8, dtype=np.float32))
+    xs = shard_features(mesh, pad_node_rows(x, pgraph.n_rows_padded))
+    out = spmm_sharded(mesh, pgraph, xs, halo=halo)
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], adj @ np.asarray(x), atol=1e-6
+    )
