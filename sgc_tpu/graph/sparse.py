@@ -156,3 +156,63 @@ class SparseGraph:
         return jax.ops.segment_sum(
             ones, self.rows, num_segments=self.n_rows, indices_are_sorted=True
         )
+
+
+def save_graph(path, graph: SparseGraph) -> None:
+    """Persist a SparseGraph to one .npz (unpadded edges + shape)."""
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        p,
+        rows=np.asarray(graph.rows)[: graph.nnz],
+        cols=np.asarray(graph.cols)[: graph.nnz],
+        vals=np.asarray(graph.vals)[: graph.nnz],
+        shape=np.asarray(graph.shape, np.int64),
+    )
+
+
+def load_graph(path, pad_multiple: int = EDGE_PAD_MULTIPLE) -> SparseGraph:
+    """Load a SparseGraph saved by :func:`save_graph`."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.suffix != ".npz" and not p.exists():
+        p = p.with_suffix(p.suffix + ".npz")
+    with np.load(p) as z:
+        n_rows, n_cols = (int(x) for x in z["shape"])
+        return SparseGraph.from_coo(
+            z["rows"], z["cols"], z["vals"], n_rows, n_cols, pad_multiple
+        )
+
+
+def block_diag(graphs: list, pad_multiple: int = EDGE_PAD_MULTIPLE) -> SparseGraph:
+    """Batch many graphs into one block-diagonal SparseGraph.
+
+    The standard trick for training over many small graphs at once: one
+    SpMM over the block-diagonal operator propagates every graph
+    independently; per-graph readout is a segment reduction over the
+    node-offset ranges (returned as the second value).
+
+    Returns (graph, offsets) where offsets[i] is graph i's first node id
+    (offsets[-1] = total node count).
+    """
+    rows, cols, vals = [], [], []
+    offsets = [0]
+    for g in graphs:
+        off = offsets[-1]
+        rows.append(np.asarray(g.rows)[: g.nnz] + off)
+        cols.append(np.asarray(g.cols)[: g.nnz] + off)
+        vals.append(np.asarray(g.vals)[: g.nnz])
+        if g.n_rows != g.n_cols:
+            raise ValueError("block_diag requires square member graphs")
+        offsets.append(off + g.n_rows)
+    n = offsets[-1]
+    out = SparseGraph.from_coo(
+        np.concatenate(rows) if rows else np.zeros(0, np.int64),
+        np.concatenate(cols) if cols else np.zeros(0, np.int64),
+        np.concatenate(vals) if vals else np.zeros(0, np.float32),
+        n, n, pad_multiple,
+    )
+    return out, np.asarray(offsets)

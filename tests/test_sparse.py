@@ -117,3 +117,40 @@ def test_standardize_features_unbiased():
     out = np.asarray(standardize_features(x))
     np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-5)
     np.testing.assert_allclose(out.std(0, ddof=1), 1.0, atol=1e-4)
+
+
+def test_graph_save_load_roundtrip(tmp_path):
+    from sgc_tpu.graph.sparse import load_graph, save_graph
+
+    rng = np.random.default_rng(0)
+    m = sp.random(50, 70, density=0.05, format="csr", dtype=np.float32)
+    g = SparseGraph.from_scipy(m)
+    save_graph(tmp_path / "g.npz", g)
+    back = load_graph(tmp_path / "g.npz")
+    assert back.shape == g.shape and back.nnz == g.nnz
+    np.testing.assert_allclose(
+        back.to_scipy().toarray(), m.toarray(), rtol=1e-6
+    )
+
+
+def test_block_diag_batches_graphs():
+    import jax.numpy as jnp
+
+    from sgc_tpu.graph.sparse import block_diag
+    from sgc_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(1)
+    members = []
+    for n in (8, 12, 16):
+        m = sp.random(n, n, density=0.3, format="csr", dtype=np.float32)
+        members.append(SparseGraph.from_scipy(m))
+    batched, offsets = block_diag(members)
+    assert batched.shape == (36, 36)
+    np.testing.assert_array_equal(offsets, [0, 8, 20, 36])
+
+    # one SpMM over the batch == per-member SpMMs
+    x = rng.standard_normal((36, 4)).astype(np.float32)
+    out = np.asarray(spmm(batched, jnp.asarray(x)))
+    for g, lo, hi in zip(members, offsets[:-1], offsets[1:]):
+        expect = np.asarray(spmm(g, jnp.asarray(x[lo:hi])))
+        np.testing.assert_allclose(out[lo:hi], expect, rtol=1e-5, atol=1e-6)
