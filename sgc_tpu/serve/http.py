@@ -4,20 +4,25 @@ POST /predict          {"node_ids": [1, 2, 3]}  -> {"predictions": [...]}
 POST /predict_logits   {"node_ids": [...]}      -> {"logits": [[...], ...]}
 GET  /healthz                                    -> {"status": "ok", ...}
 
-stdlib http.server only — deployable anywhere Python runs; for real
-fleets put it behind any standard HTTP load balancer (the engine itself
-is thread-safe for sequential handlers; http.server serializes requests).
+stdlib http.server only — deployable anywhere Python runs; requests are
+handled on a thread pool (ThreadingHTTPServer) with inference serialized
+behind a lock (device execution is sequential anyway); for real fleets
+put replicas behind any standard HTTP load balancer.
 """
 
 from __future__ import annotations
 
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from sgc_tpu.serve.engine import InferenceEngine
 
 
 def make_handler(engine: InferenceEngine):
+    lock = threading.Lock()  # engine state (stats, PRNG key) is not
+                             # thread-safe; serialize inference calls
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -50,15 +55,13 @@ def make_handler(engine: InferenceEngine):
                     self._send(400, {"error": "node_ids must be a list"})
                     return
                 if self.path == "/predict":
-                    self._send(
-                        200,
-                        {"predictions": engine.predict(ids).tolist()},
-                    )
+                    with lock:
+                        preds = engine.predict(ids)
+                    self._send(200, {"predictions": preds.tolist()})
                 elif self.path == "/predict_logits":
-                    self._send(
-                        200,
-                        {"logits": engine.predict_logits(ids).tolist()},
-                    )
+                    with lock:
+                        logits = engine.predict_logits(ids)
+                    self._send(200, {"logits": logits.tolist()})
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except ValueError as e:
@@ -72,5 +75,5 @@ def make_handler(engine: InferenceEngine):
 def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8787):
     """Blocking server loop. Returns the server object if port==0 callers
     want the bound address before serving (use server.serve_forever())."""
-    server = HTTPServer((host, port), make_handler(engine))
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
     return server
