@@ -16,10 +16,12 @@ implementations over the row-sorted COO :class:`SparseGraph`:
   round-trips HBM.
 
 ``spmm(graph, x)`` auto-dispatches on problem size. All implementations
-accumulate in float32 and are deterministic (fixed reduction order along the
-sorted edge list) so per-hop parity checks against scipy oracles hold
-bitwise across impls — the reference relies on fixed seeds for
-reproducibility (utils.py:99-102); here determinism is a property of the op.
+accumulate in float32 and are deterministic run-to-run (fixed reduction
+order). segment and chunked agree bitwise with each other; the pallas
+kernel accumulates in a different (cell-major) order, so it agrees to f32
+rounding at precision='f32' (its default) and to ~3 decimal digits at
+precision='bf16'. The reference relies on fixed seeds for reproducibility
+(utils.py:99-102); here determinism is a property of the op.
 """
 
 from __future__ import annotations
@@ -138,7 +140,11 @@ def sddmm(
 
     out[e] = <a[rows[e]], b[cols[e]]> — the building block for attention-style
     edge reweighting and the GCN backward w.r.t. adjacency values.
+
+    Padding-edge slots ([nnz, E_pad)) return exactly 0, preserving the
+    SparseGraph invariant so ``graph.with_vals(sddmm(...))`` stays valid.
     """
     left = jnp.take(a, graph.rows, axis=0)
     right = jnp.take(b, graph.cols, axis=0)
-    return jnp.sum(left * right, axis=-1)
+    vals = jnp.sum(left * right, axis=-1)
+    return jnp.where(graph.vals != 0, vals, 0.0)

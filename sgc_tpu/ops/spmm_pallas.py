@@ -21,7 +21,8 @@ Design (see SURVEY.md §7 "hard parts" #1):
   by every edge chunk of the cell (cells are skipped entirely when empty
   — `cell_nchunks` arrives via scalar prefetch).
 * Per edge chunk (C edges): gather and scatter both become **one-hot
-  bf16 matmuls on the MXU** with f32 accumulation:
+  matmuls on the MXU** with f32 accumulation (f32 one-hots by default —
+  exact selection; bf16 optional for 2x MXU rate):
       gathered = onehot(cols_local, W) @ x_stripe        (C, Ft)
       acc     += onehot_T(rows_local, R) @ (gathered * vals)  (R, Ft)
   One-hot matmul trades (W + R) * 2 * Ft flops/edge for perfectly regular
@@ -168,7 +169,7 @@ def _spmm_kernel(
     acc_ref,           # f32[R, Ft]
     sems,              # DMA sems: (2, 4) [slot][x, rows, cols, vals]
     *,
-    R: int, W: int, C: int, Ft: int, n_st: int,
+    R: int, W: int, C: int, Ft: int, n_st: int, mm_dtype,
 ):
     f = pl.program_id(0)
     i = pl.program_id(1)
@@ -217,15 +218,15 @@ def _spmm_kernel(
 
                 local_c = ec_ref[slot] - j * W
                 local_r = er_ref[slot] - i * R
-                g = (local_c[:, None] == iota_w).astype(jnp.bfloat16)
+                g = (local_c[:, None] == iota_w).astype(mm_dtype)
                 gathered = jnp.dot(
-                    g, xs_ref[x_slot].astype(jnp.bfloat16),
+                    g, xs_ref[x_slot].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )
                 weighted = gathered * ev_ref[slot][:, None]
-                s = (iota_r == local_r[None, :]).astype(jnp.bfloat16)
+                s = (iota_r == local_r[None, :]).astype(mm_dtype)
                 acc_ref[:] += jnp.dot(
-                    s, weighted.astype(jnp.bfloat16),
+                    s, weighted.astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )
                 return 0
@@ -258,6 +259,7 @@ def spmm_pallas_tiled(
     x: jnp.ndarray,
     feature_tile: int = DEFAULT_FEATURE_TILE,
     interpret: bool = False,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """SpMM over a pre-tiled graph. Returns float32[n_rows, F_padded] with
     rows/features padded to block multiples (caller slices)."""
@@ -295,8 +297,9 @@ def spmm_pallas_tiled(
         ],
     )
 
+    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
     kernel = partial(
-        _spmm_kernel, R=R, W=W, C=C, Ft=Ft, n_st=n_st,
+        _spmm_kernel, R=R, W=W, C=C, Ft=Ft, n_st=n_st, mm_dtype=mm_dtype,
     )
     edge_flops = 2 * (W + R) * Ft * tiled.rows.shape[0]
     out = pl.pallas_call(
@@ -323,6 +326,17 @@ def spmm_pallas_tiled(
     return out
 
 
+def _default_interpret() -> bool:
+    """Interpreter mode off-TPU, and on TPU when SGC_TPU_PALLAS_INTERPRET=1
+    (tunneled dev backends hang in Mosaic compilation — see CLAUDE.md)."""
+    import os
+
+    return (
+        jax.default_backend() != "tpu"
+        or os.environ.get("SGC_TPU_PALLAS_INTERPRET") == "1"
+    )
+
+
 def spmm_pallas(
     graph: SparseGraph,
     x: jnp.ndarray,
@@ -331,23 +345,25 @@ def spmm_pallas(
     chunk: int = DEFAULT_CHUNK,
     feature_tile: int = DEFAULT_FEATURE_TILE,
     interpret: bool | None = None,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """Drop-in SpMM: tile on first use, run the kernel, slice padding off.
 
     interpret=None auto-selects interpret mode off-TPU so tests and CPU
     fallbacks run the same kernel logic through the Pallas interpreter.
+
+    precision='f32' (default) keeps the one-hot matmuls in float32: the
+    gather/scatter are then *exact selections with f32 accumulation*, so
+    values match the segment-sum path to f32 rounding. 'bf16' doubles MXU
+    rate at ~3 decimal digits of per-hop precision — the speed
+    configuration for bandwidth-tolerant propagation.
     """
     if interpret is None:
-        import os
-
-        # SGC_TPU_PALLAS_INTERPRET=1 forces interpreter mode even on TPU —
-        # needed on tunneled dev backends where Mosaic compilation hangs.
-        interpret = (
-            jax.default_backend() != "tpu"
-            or os.environ.get("SGC_TPU_PALLAS_INTERPRET") == "1"
-        )
+        interpret = _default_interpret()
     tiled = _tile_cached(graph, row_block, stripe, chunk)
-    out = spmm_pallas_tiled(tiled, x, feature_tile, interpret=interpret)
+    out = spmm_pallas_tiled(
+        tiled, x, feature_tile, interpret=interpret, precision=precision
+    )
     return out[: graph.n_rows, : x.shape[1]]
 
 
@@ -409,9 +425,10 @@ def sddmm_pallas(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Edge values of a @ b.T at the graph's sparsity pattern (small-n
-    fused path; ops/spmm.py:sddmm is the general XLA path)."""
+    fused path; ops/spmm.py:sddmm is the general XLA path). Padding-edge
+    slots return exactly 0 (SparseGraph invariant)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _default_interpret()
     e_pad = graph.rows.shape[0]
     # the chunk grid must tile e_pad exactly (floor division would leave
     # the output tail uninitialized); snap to the largest divisor <= chunk
@@ -433,4 +450,4 @@ def sddmm_pallas(
         out_specs=pl.BlockSpec((C,), lambda k: (k,), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(graph.rows, graph.cols, a, b)
-    return out
+    return jnp.where(graph.vals != 0, out, 0.0)

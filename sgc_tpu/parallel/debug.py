@@ -22,17 +22,22 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sgc_tpu.parallel.mesh import NODES_AXIS
 
 
 def _fold_checksum(x: jnp.ndarray) -> jnp.ndarray:
-    """Order-independent float checksum over a block of feature rows —
-    cheap and sensitive to any corrupted element; not cryptographic."""
+    """Position-sensitive float checksum over a (H, F) block of rows.
+
+    Row i is weighted by (i + 1), so a permutation of rows within a block
+    (a mis-slotted send table delivering the right multiset in the wrong
+    order) changes the checksum — plain sums would not detect it. Cheap,
+    not cryptographic."""
     x = x.astype(jnp.float32)
-    return jnp.sum(x) + 0.5 * jnp.sum(jnp.abs(x))
+    w = jnp.arange(1, x.shape[0] + 1, dtype=jnp.float32)[:, None]
+    return jnp.sum(w * x) + 0.5 * jnp.sum(w * jnp.abs(x))
 
 
 def validate_exchange(

@@ -94,25 +94,31 @@ def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
     for p in range(P):
         # gather-table layout on chip p: rows [0, R) = x_local,
         # rows [R + q*H, R + (q+1)*H) = halo block received from q.
-        remap = {}
         for q in range(P):
             if q == p:
                 continue
             u = needed[p][q]
             send_idx[q, p, : len(u)] = u - q * R   # local ids on q
-            for slot, g in enumerate(u):
-                remap[int(g)] = R + q * H + slot
         real = vals[p] != 0
         c = cols[p]
         src = np.minimum(c // R, P - 1)
         mapped = np.zeros(cols.shape[1], dtype=np.int32)
         local = real & (src == p)
         mapped[local] = (c[local] - p * R).astype(np.int32)
-        remote = real & (src != p)
-        if remote.any():
-            mapped[remote] = np.asarray(
-                [remap[int(g)] for g in c[remote]], dtype=np.int32
-            )
+        # remote columns, vectorized per source part: each needed[p][q] is
+        # sorted-unique, so the slot of a global column is its searchsorted
+        # position (no per-edge Python)
+        for q in range(P):
+            if q == p:
+                continue
+            u = needed[p][q]
+            if not len(u):
+                continue
+            sel = real & (src == q)
+            if not sel.any():
+                continue
+            slots = np.searchsorted(u, c[sel])
+            mapped[sel] = (R + q * H + slots).astype(np.int32)
         cols_halo[p] = mapped
 
     return HaloDescriptor(

@@ -63,9 +63,12 @@ def init_distributed(
             process_id=process_id,
         )
         return True
-    except RuntimeError:
-        # already initialized
-        return jax.process_count() > 1
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return jax.process_count() > 1
+        # a genuine bring-up failure (bad coordinator, unreachable peers)
+        # must not silently degrade into a single-process run
+        raise
 
 
 @dataclasses.dataclass

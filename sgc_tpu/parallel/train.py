@@ -184,10 +184,7 @@ def make_sharded_train_step(
 
     @jax.jit
     def step(state: ShardedTrainState, x, labels, mask):
-        count, mu, nu = None, None, None
-        for s in state.opt_state:
-            if isinstance(s, optax.ScaleByAdamState):
-                count, mu, nu = s.count, s.mu, s.nu
+        count, mu, nu = _flatten_opt(state.opt_state)
         edge_cols = halo.cols_halo if halo is not None else pgraph.cols
         send_idx = (
             halo.send_idx if halo is not None

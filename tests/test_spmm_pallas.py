@@ -164,3 +164,34 @@ def test_tile_cache_reused():
                     interpret=True)
     assert len(mod._TILE_CACHE) == 1
     assert next(iter(mod._TILE_CACHE.values())) is entry
+
+
+def test_spmm_pallas_f32_tight_parity():
+    """precision='f32' one-hots are exact selections: the kernel matches
+    the segment path to float32 rounding, not just 3e-2."""
+    graph, m = _graph(n_rows=200, n_cols=200, e=1500, seed=21)
+    x = jnp.asarray(
+        np.random.default_rng(22).standard_normal((200, 24), dtype=np.float32)
+    )
+    ours = spmm_pallas(graph, x, row_block=64, stripe=64, chunk=32,
+                       interpret=True, precision="f32")
+    ref = spmm(graph, x, impl="segment")
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sddmm_padding_slots_zero():
+    """Padding edges return exactly 0 from both SDDMM impls (SparseGraph
+    invariant; regression: clamped padding produced <a[last], b[last]>)."""
+    graph, m = _graph(n_rows=64, n_cols=64, e=50, seed=23)
+    rng = np.random.default_rng(24)
+    a = jnp.asarray(rng.standard_normal((64, 8), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((64, 8), dtype=np.float32))
+    for vals in (sddmm(graph, a, b), sddmm_pallas(graph, a, b, interpret=True)):
+        v = np.asarray(vals)
+        assert np.all(v[graph.nnz:] == 0.0)
+        # the reweighting flow is now safe
+        re = graph.with_vals(jnp.asarray(v))
+        out = np.asarray(spmm(re, a))
+        assert np.all(np.isfinite(out))
