@@ -39,7 +39,8 @@ class CitationConfig:
 
     def resolve(self) -> "CitationConfig":
         if self.tuned:
-            for k, v in load_tuned("citation", self.dataset).items():
+            family = "gcn" if self.model == "GCN" else "citation"
+            for k, v in load_tuned(family, self.dataset).items():
                 setattr(self, k, v)
         return self
 

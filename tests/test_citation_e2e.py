@@ -78,3 +78,13 @@ def test_appnp_beats_sgc_on_cora():
         None, propagator="appnp",
     )
     assert res["test_accuracy"] >= 0.825
+
+
+@requires_cora
+def test_gcn_tuned_golden():
+    """GCN with the Kipf hyperparameters reaches the published ~0.815."""
+    from sgc_tpu.cli.citation import run
+    from sgc_tpu.utils.config import CitationConfig
+
+    res = run(CitationConfig(dataset="cora", model="GCN", tuned=True))
+    assert res["test_accuracy"] >= 0.805
