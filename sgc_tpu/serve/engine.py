@@ -36,6 +36,7 @@ class EngineConfig:
     min_batch: int = 8             # smallest bucket
     warmup: bool = True            # compile all buckets at startup
     fanouts: tuple = (25, 10)      # inductive sampling fanouts
+    quantize_int8: bool = False    # store features int8 + per-row scales
     seed: int = 0
 
 
@@ -94,8 +95,21 @@ class InferenceEngine:
         self._mode = "transductive" if features is not None else "inductive"
         self._key = jax.random.PRNGKey(self.config.seed)
 
+        self._scales = None
         if self._mode == "transductive":
-            self._features = jnp.asarray(features)
+            if self.config.quantize_int8:
+                # per-row symmetric int8: 4x less HBM for the dominant
+                # serving asset (N x F precomputed features); dequantize
+                # happens in-kernel after the batch-row gather
+                f = np.asarray(features, np.float32)
+                scale = np.abs(f).max(axis=1, keepdims=True) / 127.0
+                scale = np.maximum(scale, 1e-12)
+                self._features = jnp.asarray(
+                    np.clip(np.round(f / scale), -127, 127).astype(np.int8)
+                )
+                self._scales = jnp.asarray(scale.astype(np.float32))
+            else:
+                self._features = jnp.asarray(features)
         else:
             if raw_features is None:
                 raise ValueError("inductive mode requires raw_features=")
@@ -113,10 +127,16 @@ class InferenceEngine:
 
     def _build(self) -> None:
         if self._mode == "transductive":
+            scales = self._scales
 
             @jax.jit
             def fwd(params, feats, ids):
-                return sgc_apply(params, jnp.take(feats, ids, axis=0))
+                rows = jnp.take(feats, ids, axis=0)
+                if scales is not None:
+                    rows = rows.astype(jnp.float32) * jnp.take(
+                        scales, ids, axis=0
+                    )
+                return sgc_apply(params, rows)
 
             self._fwd = fwd
         else:

@@ -180,3 +180,22 @@ def test_out_of_range_node_ids_rejected(trained):
         eng.predict([0, len(feats)])
     with pytest.raises(ValueError, match="out of range"):
         eng.predict([-1])
+
+
+def test_int8_quantized_features_match_f32_predictions(trained):
+    params, feats, y = trained
+    f32 = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(min_batch=4, max_batch=32, warmup=False),
+    )
+    q8 = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(min_batch=4, max_batch=32, warmup=False,
+                            quantize_int8=True),
+    )
+    ids = list(range(32))
+    np.testing.assert_array_equal(q8.predict(ids), f32.predict(ids))
+    # logits agree to int8 quantization error
+    np.testing.assert_allclose(
+        q8.predict_logits(ids), f32.predict_logits(ids), rtol=0.1, atol=0.2
+    )
