@@ -57,9 +57,34 @@ def no_norm(adj: sp.spmatrix) -> sp.coo_matrix:
     return sp.coo_matrix(adj)
 
 
+def rw_normalized_adjacency(adj: sp.spmatrix) -> sp.coo_matrix:
+    """S = (D+I)^-1 (A+I) — the row-stochastic random-walk operator
+    ("RWalk" in upstream Tiiiger/SGC; the fork registers only AugNormAdj
+    but keeps the registry shape, normalization.py:14-19)."""
+    adj = sp.coo_matrix(adj + sp.eye(adj.shape[0]))
+    row_sum = np.asarray(adj.sum(1)).ravel()
+    with np.errstate(divide="ignore"):
+        d_inv = np.power(row_sum, -1.0)
+    d_inv[np.isinf(d_inv)] = 0.0
+    return (sp.diags(d_inv) @ adj).tocoo()
+
+
+def sym_normalized_adjacency(adj: sp.spmatrix) -> sp.coo_matrix:
+    """S = D^-1/2 A D^-1/2 without self-loops ("NormAdj" upstream)."""
+    adj = sp.coo_matrix(adj)
+    row_sum = np.asarray(adj.sum(1)).ravel()
+    with np.errstate(divide="ignore"):
+        d_inv_sqrt = np.power(row_sum, -0.5)
+    d_inv_sqrt[np.isinf(d_inv_sqrt)] = 0.0
+    d = sp.diags(d_inv_sqrt)
+    return (d @ adj @ d).tocoo()
+
+
 _NORMALIZATIONS = {
     "AugNormAdj": aug_normalized_adjacency,
     "TextAugNormAdj": sym_normalized_adjacency_selfloops,
+    "RWalkAdj": rw_normalized_adjacency,
+    "NormAdj": sym_normalized_adjacency,
     "NoNorm": no_norm,
 }
 

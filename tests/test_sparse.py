@@ -154,3 +154,36 @@ def test_block_diag_batches_graphs():
     for g, lo, hi in zip(members, offsets[:-1], offsets[1:]):
         expect = np.asarray(spmm(g, jnp.asarray(x[lo:hi])))
         np.testing.assert_allclose(out[lo:hi], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_rwalk_normalization_row_stochastic():
+    from sgc_tpu.graph.normalize import rw_normalized_adjacency
+
+    rng = np.random.default_rng(0)
+    a = sp.random(40, 40, density=0.1, format="csr", dtype=np.float32)
+    a = a + a.T
+    s = rw_normalized_adjacency(a)
+    sums = np.asarray(s.sum(axis=1)).ravel()
+    np.testing.assert_allclose(sums, 1.0, atol=1e-6)   # row-stochastic
+
+
+def test_sym_normalization_no_selfloops():
+    from sgc_tpu.graph.normalize import sym_normalized_adjacency
+
+    a = sp.csr_matrix(np.array([[0, 2.0], [2.0, 0]], np.float32))
+    s = sym_normalized_adjacency(a).toarray()
+    # D = diag(2,2); D^-1/2 A D^-1/2 = [[0,1],[1,0]]
+    np.testing.assert_allclose(s, [[0, 1], [1, 0]], atol=1e-6)
+    assert s[0, 0] == 0.0  # no self-loop added
+
+
+def test_normalization_registry_lists_all():
+    from sgc_tpu.graph.normalize import fetch_normalization
+
+    for name in ("AugNormAdj", "TextAugNormAdj", "RWalkAdj", "NormAdj",
+                 "NoNorm"):
+        assert callable(fetch_normalization(name))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fetch_normalization("Bogus")
