@@ -126,13 +126,15 @@ def prepare_covid_dataset(
     corpus_path = out / f"{dataset_name}.corpus.txt"
     with open(metadata_path, "w") as fm, open(corpus_path, "w") as fc:
         for r in rows:
+            # metadata paths resolve against out_dir: build_corpus_file(
+            # metadata, doc_root=out_dir) works without a rewrite hook
             path = f"data/{dataset_name}/{r['phase']}/{r['id']}"
             fm.write(f"{path}\t{r['phase']}\t{r['label']}\n")
             text = f"{r['title']}. {r['abstract']}".replace("\n", " ")
             fc.write(text + "\n")
             if write_doc_files:
-                doc_dir = out / r["phase"]
-                doc_dir.mkdir(exist_ok=True)
+                doc_dir = out / "data" / dataset_name / r["phase"]
+                doc_dir.mkdir(parents=True, exist_ok=True)
                 (doc_dir / f"{r['id']}.txt").write_text(text)
 
     n_train = sum(1 for r in rows if r["phase"] == "train")

@@ -60,7 +60,9 @@ def load_corpus(
     adj = _load_pickle(root / f"ind.{dataset}.{subset}.adj").astype(np.float32)
     graph = SparseGraph.from_scipy(sym_normalized_adjacency_selfloops(adj))
 
-    n_classes = int(max(label_dict[p].max() for p in label_dict)) + 1
+    n_classes = 1 + int(max(
+        label_dict[p].max() for p in label_dict if label_dict[p].size
+    ))
     return TextCorpusData(
         graph=graph,
         index_dict=index_dict,

@@ -113,6 +113,11 @@ class InferenceEngine:
         else:
             if raw_features is None:
                 raise ValueError("inductive mode requires raw_features=")
+            if self.config.quantize_int8:
+                raise ValueError(
+                    "quantize_int8 is only supported in transductive mode "
+                    "(sampled propagation needs full-precision features)"
+                )
             self._graph = graph
             self._features = jnp.asarray(raw_features)
 

@@ -39,9 +39,11 @@ def clean_docs(
 
     cleaned = []
     for tokens in tokenized:
+        # strictly greater: the reference's cutoff = count.index(5) keeps
+        # only words with frequency > 5 (remove_words.py:79-85)
         kept = [
             w for w in tokens
-            if w not in stops and freq[w] >= min_freq
+            if w not in stops and freq[w] > min_freq
         ]
         cleaned.append(" ".join(kept))
     return cleaned

@@ -91,6 +91,10 @@ def _window_count_matrix(
     for tokens in encoded_docs:
         n = len(tokens)
         if n == 0:
+            # the reference appends an EMPTY window for empty docs
+            # (build_graph.py:164-166 `length <= window_size`), which
+            # inflates n_windows — the PMI normalizer — identically here
+            w_id += 1
             continue
         if n <= window:
             rows.append(np.full(n, w_id))
@@ -193,27 +197,37 @@ def tfidf_doc_word(
 
 def chi2_select_vocab(
     counts: sp.csr_matrix,
-    train_rows: np.ndarray,
-    train_labels: np.ndarray,
-    p_value: float = 0.10,
+    all_labels: np.ndarray,
+    p_value: float = 0.90,
     max_features: int = 15000,
 ) -> np.ndarray:
-    """Chi-squared vocabulary selection on train-document TF-IDF.
+    """Chi-squared vocabulary selection, reference-faithful.
 
-    Keeps words with chi2 p < ``p_value`` against the train labels, capped
-    at ``max_features`` (TextSGC_indexing/build_graph.py:104-197 keeps
-    p<0.10, max 15k/22k). Returns kept word column indices.
+    Mirrors TextSGC_indexing/build_graph.py:104-140: (1) cap the
+    vocabulary at ``max_features`` by corpus frequency (TfidfVectorizer's
+    ``max_features`` semantics), (2) TF-IDF over ALL documents, (3) per-
+    class one-vs-rest chi2, (4) keep the union of words whose score
+    ``1 - p`` exceeds ``p_value`` for any class (i.e. p < 1 - p_value).
+    Returns kept word column indices into the original vocabulary.
     """
     from sklearn.feature_selection import chi2
 
-    X = counts[train_rows]
-    chi, p = chi2(X, train_labels)
-    chi = np.nan_to_num(chi, nan=0.0)
-    keep = np.where(np.nan_to_num(p, nan=1.0) < p_value)[0]
-    if len(keep) > max_features:
-        order = np.argsort(-chi[keep])
-        keep = keep[order[:max_features]]
-    return np.sort(keep)
+    # frequency cap first (TfidfVectorizer max_features picks the most
+    # frequent terms across the corpus)
+    total = np.asarray(counts.sum(axis=0)).ravel()
+    if counts.shape[1] > max_features:
+        top = np.sort(np.argsort(-total)[:max_features])
+    else:
+        top = np.arange(counts.shape[1])
+
+    X = tfidf_doc_word(counts[:, top])
+    y = np.asarray(all_labels)
+    selected = np.zeros(len(top), dtype=bool)
+    for cat in np.unique(y):
+        _, p = chi2(X, y == cat)
+        score = 1.0 - np.nan_to_num(p, nan=1.0)
+        selected |= score > p_value
+    return np.sort(top[selected])
 
 
 def embedding_cosine_graph(
@@ -281,8 +295,10 @@ class TextGraphBuilder:
         )
 
         if self.chi2_p_value is not None:
+            # reference-faithful: per-class OVR chi2 on TF-IDF of ALL docs
+            # (build_graph.py:104-140; transductive text setting)
             kept = chi2_select_vocab(
-                counts, train_val, all_labels[train_val],
+                counts, all_labels,
                 self.chi2_p_value, self.chi2_max_features,
             )
             remap = -np.ones(V, dtype=np.int64)

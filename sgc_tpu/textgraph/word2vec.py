@@ -92,7 +92,11 @@ def _sgns_step(params, centers, contexts, key, noise_cdf, negatives: int, lr: fl
 
     # negatives ~ unigram^0.75 via inverse-CDF sampling on device
     u = jax.random.uniform(key, (b, negatives))
-    negs = jnp.searchsorted(noise_cdf, u)
+    # float32 cumsum can end slightly below 1.0; a draw above it would
+    # index V (out of range) — clamp to the last word
+    negs = jnp.minimum(
+        jnp.searchsorted(noise_cdf, u), noise_cdf.shape[0] - 1
+    )
 
     v_c = in_emb[centers]                       # (B, D)
     u_pos = out_emb[contexts]                   # (B, D)

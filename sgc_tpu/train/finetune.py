@@ -166,11 +166,9 @@ def finetune_pretrained(
     for _ in range(cfg.epochs):
         perm = rng.permutation(n)
         for s in range(0, n, b):
-            idx = perm[s : s + b]
-            w = np.ones(b, np.float32)
-            if len(idx) < b:
-                w[len(idx):] = 0.0
-                idx = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
+            from sgc_tpu.train.sequence import pad_batch_indices
+
+            idx, w = pad_batch_indices(perm[s : s + b], b)
             ids, attn = encode([texts[i] for i in idx])
             params, opt_state, _ = step(
                 params, opt_state, jnp.asarray(ids), jnp.asarray(attn),

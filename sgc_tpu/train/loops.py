@@ -45,20 +45,23 @@ def binary_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarra
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("epochs", "lr", "weight_decay"),
-    donate_argnums=(0,),
-)
+# no donation: the head params are tiny and donation would invalidate the
+# caller's array (hyperopt trials legitimately reuse an init)
+@partial(jax.jit, static_argnames=("epochs",))
 def _adam_epochs(
     params: SGCParams,
     train_x: jnp.ndarray,
     train_y: jnp.ndarray,
-    lr: float,
-    weight_decay: float,
+    lr: jnp.ndarray,
+    weight_decay: jnp.ndarray,
     epochs: int,
 ):
-    tx = torch_adam(lr, weight_decay)
+    # lr / weight_decay are TRACED (inject_hyperparams) so hyperparameter
+    # sweeps (60-trial TPE, per-fold tuned wds) share ONE compiled program
+    # instead of recompiling per value
+    tx = optax.inject_hyperparams(torch_adam)(
+        lr=lr, weight_decay=weight_decay
+    )
     opt_state = tx.init(params)
 
     def loss_fn(p):
@@ -75,6 +78,25 @@ def _adam_epochs(
     return params, losses
 
 
+# AOT executable cache: .lower().compile() bypasses the jit cache, so
+# without this every train_regression call recompiled the epoch scan
+_ADAM_EXEC_CACHE: dict = {}
+
+
+def _adam_executable(params, x, y, lr, wd, epochs):
+    key = (
+        tuple((l.shape, str(l.dtype)) for l in jax.tree.leaves(params)),
+        x.shape, str(x.dtype), y.shape, str(y.dtype), epochs,
+    )
+    hit = _ADAM_EXEC_CACHE.get(key)
+    if hit is None:
+        hit = _adam_epochs.lower(params, x, y, lr, wd, epochs).compile()
+        if len(_ADAM_EXEC_CACHE) > 32:
+            _ADAM_EXEC_CACHE.pop(next(iter(_ADAM_EXEC_CACHE)))
+        _ADAM_EXEC_CACHE[key] = hit
+    return hit
+
+
 def train_regression(
     params: SGCParams,
     train_features: jnp.ndarray,
@@ -89,14 +111,17 @@ def train_regression(
     ``writer`` (utils.profiling.ScalarWriter) records the per-epoch train
     loss curve — the SummaryWriter contract of TextSGC_Bio/trainv2.py.
     """
-    lowered = _adam_epochs.lower(
-        params, train_features, train_labels, lr, weight_decay, epochs
+    lr_arr = jnp.asarray(lr, jnp.float32)
+    wd_arr = jnp.asarray(weight_decay, jnp.float32)
+    compiled = _adam_executable(
+        params, train_features, train_labels, lr_arr, wd_arr, epochs
     )
-    compiled = lowered.compile()
     from sgc_tpu.utils.profiling import sync
 
     t = perf_counter()
-    params, losses = compiled(params, train_features, train_labels)
+    params, losses = compiled(
+        params, train_features, train_labels, lr_arr, wd_arr
+    )
     sync(params)
     dt = perf_counter() - t
     if writer is not None:
@@ -179,43 +204,49 @@ def train_gcn(
     """Full-batch GCN training: Adam + CE on train rows, dropout per epoch.
 
     The graph propagation runs inside every step (GCN has no precompute
-    factorization); the whole epoch loop is one jitted lax.scan program.
+    factorization); the whole epoch loop is one jitted lax.scan program,
+    cached module-level so repeated calls (folds, tuning trials) compile
+    once per shape.
     """
-    from sgc_tpu.models.gcn import gcn_apply
-
-    tx = torch_adam(lr, weight_decay)
-
-    @partial(jax.jit, static_argnames=("epochs", "dropout"))
-    def fit(params, features, graph, train_idx, train_labels, key,
-            epochs, dropout):
-        opt_state = tx.init(params)
-
-        def loss_fn(p, dkey):
-            logits = gcn_apply(
-                p, features, graph, dropout_rate=dropout, dropout_key=dkey
-            )
-            return cross_entropy(logits[train_idx], train_labels)
-
-        def step(carry, dkey):
-            p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, dkey)
-            updates, s = tx.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
-
-        keys = jax.random.split(key, epochs)
-        (params, _), losses = jax.lax.scan(step, (params, opt_state), keys)
-        return params, losses
-
     from sgc_tpu.utils.profiling import sync
 
     key = jax.random.PRNGKey(seed)
     t = perf_counter()
-    params, losses = fit(
-        params, features, graph, train_idx, train_labels, key, epochs, dropout
+    params, losses = _gcn_fit(
+        params, features, graph, train_idx, train_labels, key,
+        jnp.asarray(lr, jnp.float32), jnp.asarray(weight_decay, jnp.float32),
+        epochs, dropout,
     )
     sync(params)
     return params, perf_counter() - t
+
+
+@partial(jax.jit, static_argnames=("epochs", "dropout"))
+def _gcn_fit(params, features, graph, train_idx, train_labels, key,
+             lr, weight_decay, epochs, dropout):
+    from sgc_tpu.models.gcn import gcn_apply
+
+    tx = optax.inject_hyperparams(torch_adam)(
+        lr=lr, weight_decay=weight_decay
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(p, dkey):
+        logits = gcn_apply(
+            p, features, graph, dropout_rate=dropout, dropout_key=dkey
+        )
+        return cross_entropy(logits[train_idx], train_labels)
+
+    def step(carry, dkey):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, dkey)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    keys = jax.random.split(key, epochs)
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), keys)
+    return params, losses
 
 
 def eval_linear(

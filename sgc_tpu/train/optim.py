@@ -31,12 +31,14 @@ from jax.flatten_util import ravel_pytree
 
 
 def torch_adam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
-    txs = []
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    txs.append(optax.scale(-lr))
-    return optax.chain(*txs)
+    # add_decayed_weights(0.0) is an exact no-op, so the chain shape stays
+    # fixed — required for traced weight_decay (optax.inject_hyperparams)
+    # and for opt-state surgery in parallel/train.py
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
 
 
 class _LBFGSState(NamedTuple):

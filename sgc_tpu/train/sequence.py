@@ -67,6 +67,17 @@ def encode_batch(
     return ids, mask
 
 
+def pad_batch_indices(idx: np.ndarray, batch: int):
+    """Static-shape batch padding: returns (full_idx, weights) where the
+    trailing ``batch - len(idx)`` rows are index 0 with weight 0 (masked
+    out of the loss). One definition shared by every batched loop."""
+    w = np.ones(batch, np.float32)
+    if len(idx) < batch:
+        w[len(idx):] = 0.0
+        idx = np.concatenate([idx, np.zeros(batch - len(idx), np.int64)])
+    return idx, w
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -130,11 +141,7 @@ def train_sequence_classifier(
     for _ in range(cfg.epochs):
         perm = rng.permutation(n)
         for s in range(0, n, b):
-            idx = perm[s : s + b]
-            w = np.ones(b, np.float32)
-            if len(idx) < b:  # pad last batch, mask padded samples out
-                w[len(idx):] = 0.0
-                idx = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
+            idx, w = pad_batch_indices(perm[s : s + b], b)
             key, dkey = jax.random.split(key)
             params, opt_state, _ = step(
                 params, opt_state,

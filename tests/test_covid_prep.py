@@ -71,8 +71,17 @@ def test_full_prep(tmp_path):
     assert {c[1] for c in cols} == {"train", "test"}
     # "Medicine all" never becomes a label even though it's in every row
     assert all(c[2] != "Medicine all" for c in cols)
-    # per-doc files written
-    assert (tmp_path / "out" / "train").exists()
+    # per-doc files written where the metadata paths point
+    assert (tmp_path / "out" / "data" / "covid_test" / "train").exists()
+
+    # metadata resolves directly against out_dir (no rewrite hook needed)
+    from sgc_tpu.textgraph.clean import build_corpus_file
+
+    docs2 = build_corpus_file(
+        res.metadata_path, tmp_path / "roundtrip.txt",
+        doc_root=tmp_path / "out",
+    )
+    assert len(docs2) == 15
 
     # deterministic: rerun produces identical metadata
     res2 = prepare_covid_dataset(

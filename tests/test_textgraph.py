@@ -93,13 +93,15 @@ def test_pivoted_tfidf_formula():
 def test_clean_docs_stopwords_and_minfreq():
     docs = [
         "the apple apple apple orange",
-        "the apple apple banana weirdtoken",
+        "the apple apple apple banana weirdtoken",
     ]
     out = clean_docs(docs, stopword_list="nltk", min_freq=5)
-    # 'the' is a stopword; apple appears 5x (kept); orange/banana/weirdtoken < 5
+    # 'the' is a stopword; apple appears 6x — STRICTLY more than 5 (the
+    # reference's cutoff = count.index(5) keeps only freq > 5);
+    # orange/banana/weirdtoken are dropped
     assert out[0] == "apple apple apple"
-    assert out[1] == "apple apple"
-    out = clean_docs(docs, stopword_list="none", min_freq=1)
+    assert out[1] == "apple apple apple"
+    out = clean_docs(docs, stopword_list="none", min_freq=0)
     assert "the" in out[0].split()
 
 
