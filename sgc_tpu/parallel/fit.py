@@ -108,7 +108,8 @@ def fit_sharded(
     losses = []
     for _ in range(epochs):
         state, loss = step(state, x, y, m)
-        losses.append(float(loss))
+        losses.append(loss)          # stay async: no per-epoch host sync
+    losses = [float(l) for l in losses]
 
     # pull params to host (replicate the TP-sharded W)
     w = np.asarray(jax.device_get(state.params.w))
