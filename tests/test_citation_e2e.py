@@ -88,3 +88,20 @@ def test_gcn_tuned_golden():
 
     res = run(CitationConfig(dataset="cora", model="GCN", tuned=True))
     assert res["test_accuracy"] >= 0.805
+
+
+@requires_cora
+def test_sweep_cli_json_mode(monkeypatch, capsys):
+    import json as _json
+    import sys
+
+    from sgc_tpu.cli.sweep import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "sweep", "--datasets", "cora", "--degrees", "2", "--json",
+        "--epochs", "20",
+    ])
+    main()
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1 and rows[0]["dataset"] == "cora"
+    assert {"K", "val_acc", "test_acc", "train_s"} <= set(rows[0])
