@@ -46,6 +46,9 @@ def run(
             from sgc_tpu.utils.profiling import sync
 
             prop = fetch_propagator(propagator)
+            # warm compilation outside the timer, matching sgc_precompute's
+            # contract (timing covers execution, not XLA compile)
+            prop.lower(data.features, data.graph, cfg.degree).compile()
             t0 = perf_counter()
             features = prop(data.features, data.graph, cfg.degree)
             sync(features)

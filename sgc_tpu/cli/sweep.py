@@ -49,6 +49,8 @@ def sweep(
             tuned_cfg = load_tuned("citation", ds) if tuned else {}
             wd = tuned_cfg.get("weight_decay", 5e-6)
 
+        from sgc_tpu.utils.profiling import sync
+
         hop = jax.jit(lambda x: spmm(data.graph, x, impl="segment"))
         x = data.features
         max_k = max(degrees)
@@ -57,7 +59,7 @@ def sweep(
         per_hop_t = {}
         for k in range(1, max_k + 1):
             x = hop(x)
-            x.block_until_ready()
+            sync(x)   # block_until_ready can return early on this backend
             feats_at_k[k] = x
             per_hop_t[k] = time.perf_counter() - t0
 

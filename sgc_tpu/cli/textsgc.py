@@ -41,15 +41,23 @@ def run(
     data = load_corpus(cfg.dataset, subset, data_path, fold=fold)
     binary = cfg.dataset == "mr"
 
-    if cfg.preprocessed and feat_cache:
-        with open(feat_cache, "rb") as f:
-            feat_dict = pickle.load(f)
-        feat_dict = {k: jnp.asarray(v) for k, v in feat_dict.items()}
+    from pathlib import Path
+
+    from sgc_tpu.utils.checkpoint import load_features, save_features
+
+    if cfg.preprocessed and not feat_cache:
+        raise ValueError("--preprocessed requires --feat_cache <path>")
+    if cfg.preprocessed and Path(feat_cache).exists():
+        # npz cache written by a prior run (utils.checkpoint format —
+        # the reference pickles, --preprocessed train.py:104-112)
+        feat_dict = load_features(feat_cache)
         precompute_time = 0.0
     else:
         feat_dict, precompute_time = text_structural_features(
             data.graph, data.index_dict, degree=cfg.degree
         )
+        if feat_cache:
+            save_features(feat_cache, feat_dict)
 
     label_dict = {k: jnp.asarray(v) for k, v in data.label_dict.items()}
 

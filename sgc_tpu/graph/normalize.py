@@ -137,20 +137,17 @@ def symmetrize_max(adj: sp.spmatrix) -> sp.coo_matrix:
 
 
 def normalize_adjacency_device(
-    graph: SparseGraph, add_self_loops: bool = False
+    graph: SparseGraph
 ) -> SparseGraph:
     """Jittable D^-1/2 A D^-1/2 re-weighting of an on-device SparseGraph.
 
-    Self-loops must already be present as edges when ``add_self_loops`` is
-    False; with True, degrees get +1 and the caller is expected to have
-    materialized the loop edges (pattern changes are host-side).
-    Padding edges (val == 0) stay exactly 0.
+    Self-loop edges must already be present in the pattern (pattern
+    changes are host-side); their weights are counted by the degree
+    segment-sum exactly once. Padding edges (val == 0) stay exactly 0.
     """
     deg = jax.ops.segment_sum(
         graph.vals, graph.rows, num_segments=graph.n_rows, indices_are_sorted=True
     )
-    if add_self_loops:
-        deg = deg + 1.0
     d_inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
     new_vals = d_inv_sqrt[graph.rows] * graph.vals * d_inv_sqrt[graph.cols]
     return graph.with_vals(new_vals)

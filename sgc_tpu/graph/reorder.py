@@ -98,23 +98,40 @@ def spectral_order(adj: sp.spmatrix, tol: float = 1e-4) -> np.ndarray:
     """Fiedler-vector ordering: sort nodes by the second eigenvector of
     the normalized Laplacian. The classic spectral-partitioning relaxation
     — contiguous ranges of the order approximate balanced min-cut parts,
-    which is exactly what the row-block partitioner consumes. Falls back
-    to RCM if the eigensolver fails to converge."""
+    which is exactly what the row-block partitioner consumes.
+
+    Disconnected graphs are handled per component (on the whole graph the
+    second eigenvector is a null-space indicator that carries no
+    within-component ordering). Falls back to RCM when the eigensolver
+    fails to converge on a component."""
     from scipy.sparse.linalg import eigsh
 
     csr = adj.tocsr().astype(np.float64)
-    n = csr.shape[0]
-    deg = np.asarray(csr.sum(axis=1)).ravel()
-    dinv = np.where(deg > 0, deg**-0.5, 0.0)
-    d = sp.diags(dinv)
-    lap = sp.eye(n) - d @ csr @ d
-    try:
-        # smallest two eigenpairs; shift-invert for the small end
-        _, vecs = eigsh(lap, k=2, sigma=0, which="LM", tol=tol)
-    except Exception:
-        return rcm_order(adj)
-    fiedler = dinv * vecs[:, 1]
-    return np.argsort(fiedler, kind="stable")
+    n_comp, comp = sp.csgraph.connected_components(csr, directed=False)
+
+    def order_component(nodes: np.ndarray) -> np.ndarray:
+        m = len(nodes)
+        if m <= 2:
+            return nodes
+        sub = csr[nodes][:, nodes]
+        deg = np.asarray(sub.sum(axis=1)).ravel()
+        dinv = np.where(deg > 0, deg**-0.5, 0.0)
+        d = sp.diags(dinv)
+        lap = sp.eye(m) - d @ sub @ d
+        try:
+            _, vecs = eigsh(lap, k=2, sigma=0, which="LM", tol=tol)
+        except Exception:
+            local = rcm_order(sub)
+            return nodes[local]
+        fiedler = dinv * vecs[:, 1]
+        return nodes[np.argsort(fiedler, kind="stable")]
+
+    if n_comp == 1:
+        return order_component(np.arange(csr.shape[0]))
+    # largest components first so each lands in as few blocks as possible
+    parts = [np.where(comp == c)[0] for c in range(n_comp)]
+    parts.sort(key=len, reverse=True)
+    return np.concatenate([order_component(p) for p in parts])
 
 
 ORDERINGS = {

@@ -48,7 +48,8 @@ class SparseGraph:
       rows:    int32[E_pad] — row index per edge, non-decreasing.
       cols:    int32[E_pad] — column index per edge.
       vals:    float32[E_pad] — edge weight; exactly 0 for padding edges.
-      row_ptr: int32[n_rows + 1] — CSR offsets into the *unpadded* edges.
+      row_ptr: int64[n_rows + 1] — CSR offsets into the *unpadded* edges
+               (int64: offsets overflow int32 past 2^31 edges).
       n_rows, n_cols: static matrix shape.
       nnz:     static true (unpadded) edge count; padding lives in
                ``[nnz, E_pad)``.
@@ -107,7 +108,9 @@ class SparseGraph:
             rows=jnp.asarray(rows, dtype=jnp.int32),
             cols=jnp.asarray(cols, dtype=jnp.int32),
             vals=jnp.asarray(vals, dtype=jnp.float32),
-            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            # int64: int32 offsets overflow past 2^31 edges (the native
+            # layer keeps int64 ids for billion-edge graphs)
+            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int64),
             n_rows=int(n_rows),
             n_cols=int(n_cols),
             nnz=nnz,

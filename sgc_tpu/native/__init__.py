@@ -18,6 +18,7 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _LIB_PATH = _HERE / "libgraphprep.so"
 _lib = None
+_load_failed = False
 
 
 def _stale() -> bool:
@@ -31,10 +32,10 @@ def _stale() -> bool:
 
 
 def _try_load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if os.environ.get("SGC_TPU_NO_NATIVE") == "1":
+    if _load_failed or os.environ.get("SGC_TPU_NO_NATIVE") == "1":
         return None
     if not _LIB_PATH.exists() or _stale():
         try:
@@ -44,10 +45,12 @@ def _try_load():
         except Exception:
             pass  # fall through: a pre-built (possibly stale) lib or None
     if not _LIB_PATH.exists():
+        _load_failed = True   # no compiler: don't respawn g++ per call
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _load_failed = True
         return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -91,10 +94,12 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 
 
 def sort_edges(rows, cols, vals, n_rows: int, n_cols: int):
-    """Sort COO edges by (row, col). Returns (rows, cols, vals) int64/f32."""
-    rows = np.ascontiguousarray(rows, dtype=np.int64)
-    cols = np.ascontiguousarray(cols, dtype=np.int64)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    """Sort COO edges by (row, col). Returns NEW (rows, cols, vals)
+    int64/f32 arrays — inputs are never mutated (the native kernel sorts
+    in place, so it gets private copies)."""
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    vals = np.array(vals, dtype=np.float32)
     lib = _try_load()
     if lib is not None:
         lib.sort_edges_by_row_col(
@@ -118,10 +123,11 @@ def row_ptr_from_sorted(rows, n_rows: int):
 
 
 def coalesce(rows, cols, vals):
-    """Sum duplicates in a (row, col)-sorted edge list."""
-    rows = np.ascontiguousarray(rows, dtype=np.int64)
-    cols = np.ascontiguousarray(cols, dtype=np.int64)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    """Sum duplicates in a (row, col)-sorted edge list. Returns new
+    arrays; inputs are never mutated."""
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    vals = np.array(vals, dtype=np.float32)
     lib = _try_load()
     if lib is not None:
         n = lib.coalesce_sorted(
@@ -140,10 +146,12 @@ def coalesce(rows, cols, vals):
 
 
 def sym_normalize_edges(rows, cols, vals, n_rows: int):
-    """In-place d^-1/2 A d^-1/2 scaling given weighted row degrees of A."""
-    rows = np.ascontiguousarray(rows, dtype=np.int64)
-    cols = np.ascontiguousarray(cols, dtype=np.int64)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    """d^-1/2 A d^-1/2 scaling given weighted row degrees of A.
+
+    Returns new arrays; inputs are never mutated."""
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    vals = np.array(vals, dtype=np.float32)
     lib = _try_load()
     deg = np.zeros(n_rows, dtype=np.float64)
     if lib is not None:

@@ -80,6 +80,28 @@ def load_params(path: str | Path):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def propagation_fingerprint(graph, x, degree: int) -> str:
+    """Content-aware restart key: shape metadata alone would silently
+    restore hops computed under a different normalization or different
+    features of the same shape."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray(graph.vals)[: graph.nnz].tobytes())
+    h.update(np.asarray(graph.cols)[: graph.nnz].tobytes())
+    xs = np.asarray(x)
+    h.update(np.asarray(
+        [xs.shape[0], xs.shape[1]], np.int64
+    ).tobytes())
+    # cheap content digest of x (full hash of N*F floats can be hundreds
+    # of MB; sums + corners catch normalization/feature swaps)
+    h.update(np.asarray(
+        [float(xs.sum()), float(np.abs(xs).sum()),
+         float(xs[0].sum()), float(xs[-1].sum())], np.float64
+    ).tobytes())
+    return f"k{degree}_{h.hexdigest()[:16]}"
+
+
 class PropagationCheckpointer:
     """Per-hop checkpoint/resume for K-hop propagation.
 
@@ -134,8 +156,9 @@ def propagate_with_checkpoints(
     start = 0
     ckpt = None
     if checkpoint_dir is not None:
-        fp = f"n{graph.n_rows}_nnz{graph.nnz}_f{x.shape[1]}_k{degree}"
-        ckpt = PropagationCheckpointer(checkpoint_dir, fp)
+        ckpt = PropagationCheckpointer(
+            checkpoint_dir, propagation_fingerprint(graph, x, degree)
+        )
         x, start = ckpt.restore(x)
     for k in range(start, degree):
         x = spmm(graph, x, impl=impl)

@@ -38,12 +38,24 @@ class Metrics:
     counters: dict = field(default_factory=dict)
 
     @contextlib.contextmanager
-    def timer(self, name: str, result=None):
-        """Time a block; forces completion of ``result`` (pytree) if given."""
+    def timer(self, name: str):
+        """Time a block. Yields a holder: assign the block's output to
+        ``holder.result`` and the exit syncs it (async backends) — a
+        ``result=`` parameter evaluated at entry could never see a value
+        computed inside the block.
+
+        Usage::
+
+            with metrics.timer("precompute") as t:
+                t.result = spmm(graph, x)
+        """
+        import types
+
+        holder = types.SimpleNamespace(result=None)
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            sync(result)
+        yield holder
+        if holder.result is not None:
+            sync(holder.result)
         self.timings[name] = self.timings.get(name, 0.0) + (
             time.perf_counter() - t0
         )

@@ -32,12 +32,22 @@ def test_propagation_checkpoint_resume(tmp_path):
     g = _graph()
     x = jnp.asarray(np.random.default_rng(0).normal(size=(60, 8)), jnp.float32)
 
+    from sgc_tpu.utils.checkpoint import propagation_fingerprint
+
     full = propagate_with_checkpoints(x, g, 3, tmp_path)
     # simulate restart: hop 0,1,2 saved; resume must reuse hop files
-    ckpt = PropagationCheckpointer(tmp_path, f"n{g.n_rows}_nnz{g.nnz}_f8_k3")
+    ckpt = PropagationCheckpointer(
+        tmp_path, propagation_fingerprint(g, x, 3)
+    )
     restored, next_hop = ckpt.restore(x)
     assert next_hop == 3
     np.testing.assert_allclose(np.asarray(restored), np.asarray(full))
+
+    # content-aware: different edge VALUES (same shapes) must NOT restore
+    g2 = g.with_vals(g.vals * 2.0)
+    assert propagation_fingerprint(
+        g2, x, 3
+    ) != propagation_fingerprint(g, x, 3)
 
     # mismatched fingerprint (different K) restarts from scratch
     ckpt2 = PropagationCheckpointer(tmp_path, "different")
@@ -73,7 +83,8 @@ def test_params_roundtrip(tmp_path):
 def test_metrics_timer_and_rates():
     m = Metrics()
     x = jnp.ones((128, 128))
-    with m.timer("precompute", result=x):
+    with m.timer("precompute") as t:
+        t.result = x
         y = x * 2
     assert m.timings["precompute"] > 0
     m.count("edges", 1000)
