@@ -48,8 +48,10 @@ class SparseGraph:
       rows:    int32[E_pad] — row index per edge, non-decreasing.
       cols:    int32[E_pad] — column index per edge.
       vals:    float32[E_pad] — edge weight; exactly 0 for padding edges.
-      row_ptr: int64[n_rows + 1] — CSR offsets into the *unpadded* edges
-               (int64: offsets overflow int32 past 2^31 edges).
+      row_ptr: int32[n_rows + 1] — CSR offsets into the *unpadded* edges.
+               Guarded: graphs beyond 2^31-1 edges are rejected at
+               construction (int32 device indices; enabling jax x64 and
+               lifting the guard is the >2B-edge path).
       n_rows, n_cols: static matrix shape.
       nnz:     static true (unpadded) edge count; padding lives in
                ``[nnz, E_pad)``.
@@ -90,6 +92,11 @@ class SparseGraph:
         """
         from sgc_tpu import native
 
+        if len(rows) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"{len(rows)} edges overflow int32 device offsets; enable "
+                "jax_enable_x64 and widen SparseGraph dtypes for >2B edges"
+            )
         rows, cols, vals = native.sort_edges(rows, cols, vals, n_rows, n_cols)
         nnz = int(rows.shape[0])
         row_ptr = native.row_ptr_from_sorted(rows, n_rows).astype(np.int32)
@@ -108,9 +115,7 @@ class SparseGraph:
             rows=jnp.asarray(rows, dtype=jnp.int32),
             cols=jnp.asarray(cols, dtype=jnp.int32),
             vals=jnp.asarray(vals, dtype=jnp.float32),
-            # int64: int32 offsets overflow past 2^31 edges (the native
-            # layer keeps int64 ids for billion-edge graphs)
-            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int64),
+            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
             n_rows=int(n_rows),
             n_cols=int(n_cols),
             nnz=nnz,
