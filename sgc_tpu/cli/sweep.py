@@ -55,6 +55,9 @@ def sweep(
         x = data.features
         max_k = max(degrees)
         feats_at_k = {0: x}
+        # warm-compile before the timer so per-hop timings exclude XLA
+        # compile (same contract as sgc_precompute / structural features)
+        hop.lower(x).compile()
         t0 = time.perf_counter()
         per_hop_t = {}
         for k in range(1, max_k + 1):

@@ -396,7 +396,7 @@ def _sddmm_kernel(
     rows_ref, cols_ref,      # int32[C] (VMEM blocks of the chunk grid)
     a_ref, b_ref,            # f32[n, F] (ANY; compiler places small panels)
     out_ref,                 # f32[C] (VMEM block)
-    *, C: int, F: int,
+    *, C: int, F: int, mm_dtype,
 ):
     """Per chunk: gather a-rows and b-rows via DMA… the gather here is
     row-contiguous only for sorted rows, so a/b rows are fetched with a
@@ -408,11 +408,11 @@ def _sddmm_kernel(
     cols = cols_ref[:]
     n = a_ref.shape[0]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (C, n), 1)
-    ga = (rows[:, None] == iota_a).astype(jnp.bfloat16)
-    gb = (cols[:, None] == iota_a).astype(jnp.bfloat16)
-    left = jnp.dot(ga, a_ref[:].astype(jnp.bfloat16),
+    ga = (rows[:, None] == iota_a).astype(mm_dtype)
+    gb = (cols[:, None] == iota_a).astype(mm_dtype)
+    left = jnp.dot(ga, a_ref[:].astype(mm_dtype),
                    preferred_element_type=jnp.float32)
-    right = jnp.dot(gb, b_ref[:].astype(jnp.bfloat16),
+    right = jnp.dot(gb, b_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32)
     out_ref[:] = jnp.sum(left * right, axis=-1)
 
@@ -423,12 +423,19 @@ def sddmm_pallas(
     b: jnp.ndarray,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool | None = None,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """Edge values of a @ b.T at the graph's sparsity pattern (small-n
     fused path; ops/spmm.py:sddmm is the general XLA path). Padding-edge
-    slots return exactly 0 (SparseGraph invariant)."""
+    slots return exactly 0 (SparseGraph invariant).
+
+    precision='f32' (default, matching :func:`spmm_pallas`) keeps the
+    one-hot selections and the a/b operands in float32 — results agree
+    with the XLA sddmm to f32 rounding. 'bf16' doubles MXU rate but
+    rounds a and b to bfloat16 first (~3 decimal digits)."""
     if interpret is None:
         interpret = _default_interpret()
+    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
     e_pad = graph.rows.shape[0]
     # the chunk grid must tile e_pad exactly (floor division would leave
     # the output tail uninitialized); snap to the largest divisor <= chunk
@@ -438,7 +445,7 @@ def sddmm_pallas(
     n_chunks = e_pad // C
 
     out = pl.pallas_call(
-        partial(_sddmm_kernel, C=C, F=a.shape[1]),
+        partial(_sddmm_kernel, C=C, F=a.shape[1], mm_dtype=mm_dtype),
         out_shape=jax.ShapeDtypeStruct((e_pad,), jnp.float32),
         grid=(n_chunks,),
         in_specs=[

@@ -72,8 +72,21 @@ def make_handler(engine: InferenceEngine):
     return Handler
 
 
-def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8787):
-    """Blocking server loop. Returns the server object if port==0 callers
-    want the bound address before serving (use server.serve_forever())."""
+def serve(
+    engine: InferenceEngine,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    blocking: bool = False,
+):
+    """Create the HTTP server; serve requests when ``blocking=True``.
+
+    With ``blocking=False`` (default) the server is constructed and bound
+    but NOT serving — callers read ``server.server_address`` (useful with
+    port=0) and start it themselves via ``server.serve_forever()`` or a
+    thread. ``blocking=True`` enters ``serve_forever`` and only returns on
+    shutdown.
+    """
     server = ThreadingHTTPServer((host, port), make_handler(engine))
+    if blocking:
+        server.serve_forever()
     return server

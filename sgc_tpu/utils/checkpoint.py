@@ -71,12 +71,28 @@ def save_params(path: str | Path, params) -> None:
         pickle.dump(treedef, f)
 
 
-def load_params(path: str | Path):
+def load_params(path: str | Path, like=None):
+    """Load a params pytree saved by :func:`save_params`.
+
+    ``like`` — an example pytree with the expected structure (e.g. a
+    freshly-initialized params object). When given, the tree structure is
+    taken from ``like`` and the ``.treedef`` sidecar is never unpickled —
+    use this form for artifacts from untrusted sources (unpickling the
+    treedef executes arbitrary code; the npz leaves themselves are inert).
+    """
     path = Path(path)
     with np.load(_npz_path(path)) as f:
         leaves = [jnp.asarray(f[f"leaf_{i}"]) for i in range(len(f.files))]
-    with open(path.with_suffix(".treedef"), "rb") as f:
-        treedef = pickle.load(f)
+    if like is not None:
+        treedef = jax.tree.structure(like)
+        if treedef.num_leaves != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(leaves)} leaves but `like` structure "
+                f"expects {treedef.num_leaves}"
+            )
+    else:
+        with open(path.with_suffix(".treedef"), "rb") as f:
+            treedef = pickle.load(f)
     return jax.tree.unflatten(treedef, leaves)
 
 
@@ -87,6 +103,10 @@ def propagation_fingerprint(graph, x, degree: int) -> str:
     import hashlib
 
     h = hashlib.sha1()
+    h.update(np.asarray(
+        [graph.n_rows, graph.n_cols, graph.nnz], np.int64
+    ).tobytes())
+    h.update(np.asarray(graph.rows)[: graph.nnz].tobytes())
     h.update(np.asarray(graph.vals)[: graph.nnz].tobytes())
     h.update(np.asarray(graph.cols)[: graph.nnz].tobytes())
     xs = np.asarray(x)
