@@ -165,6 +165,18 @@ def main() -> None:
         f"({2 * graph.nnz / t_pre / 1e6:.0f} M edges/s)  total: {total:.3f}s"
     )
 
+    # communication model for the multi-chip path (host-side; untimed —
+    # VERDICT round-1 #6: makes the >=80% scaling north star auditable
+    # before real multi-chip hardware exists)
+    single_rate = 2 * graph.nnz / t_pre
+    try:
+        from sgc_tpu.parallel.scaling import comm_model
+
+        model = comm_model(graph, features.shape[1], 8, single_rate)
+    except Exception as exc:  # model failure must not kill the bench
+        log(f"comm model failed: {exc}")
+        model = {}
+
     print(
         json.dumps(
             {
@@ -172,6 +184,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SECONDS / total, 3),
+                "edges_per_s": int(single_rate),
+                "ici_bytes_per_hop": model.get("ici_bytes_per_hop_halo"),
+                "projected_scaling": model,
             }
         )
     )

@@ -78,10 +78,13 @@ def main() -> None:
         counts.append(d)
         d *= 2
     counts.append(n_total)
+    from sgc_tpu.parallel.scaling import comm_model
+
     for nd in counts:
         rep = measure_spmm_scaling(
             graph, x, n_devices=nd, hops=a.hops, repeats=a.repeats
         )
+        model = comm_model(graph, a.features, nd, rep.single_rate)
         if a.json:
             print(json.dumps({
                 "devices": rep.n_devices,
@@ -89,9 +92,22 @@ def main() -> None:
                 "sharded_edges_per_s": rep.sharded_rate,
                 "efficiency": rep.efficiency,
                 "halo_fraction": rep.halo_fraction,
+                "comm_model": model,
             }))
         else:
             print(rep)
+            print(
+                "  comm model: halo {h} B/hop/chip (plan build {p}s), "
+                "all-gather {a} B/hop/chip, projected eff @{ici:.0f}GB/s "
+                "ICI: halo {eh:.0%} / all-gather {ea:.0%}".format(
+                    h=model["ici_bytes_per_hop_halo"],
+                    p=model["plan_build_s"],
+                    a=model["ici_bytes_per_hop_allgather"],
+                    ici=model["assumed_ici_gbps"],
+                    eh=model["projected_efficiency_halo"],
+                    ea=model["projected_efficiency_allgather"],
+                )
+            )
 
 
 if __name__ == "__main__":

@@ -26,30 +26,69 @@ extern "C" {
 // Parallel LSD radix sort of edges by (row, col) key. rows/cols/vals are
 // reordered in place via a permutation; returns 0 on success.
 // Radix: 16-bit digits over the (row<<32 | col)-style composite key,
-// processed col-first then row (stable passes).
+// processed col-first then row (stable passes). Each pass is parallel:
+// per-thread histograms over contiguous input ranges, an exclusive
+// (bucket-major, then thread) prefix sum, and a parallel stable scatter —
+// bucket order across threads preserves the pass's stability invariant.
 int sort_edges_by_row_col(int64_t* rows, int64_t* cols, float* vals,
                           int64_t n_edges, int64_t n_rows, int64_t n_cols) {
   if (n_edges <= 0) return 0;
 
+  constexpr int kBits = 16;
+  constexpr int kBuckets = 1 << kBits;
+
+  int n_threads = (int)std::max(1u, std::thread::hardware_concurrency());
+  // below ~1M edges thread setup + 512KB/thread histograms dominate
+  if (n_edges < (1 << 20)) n_threads = 1;
+  const int64_t chunk = (n_edges + n_threads - 1) / n_threads;
+
   std::vector<int64_t> perm(n_edges), tmp_perm(n_edges);
   for (int64_t i = 0; i < n_edges; ++i) perm[i] = i;
 
+  std::vector<int64_t> counts((size_t)n_threads * kBuckets);
+
   auto radix_pass = [&](const int64_t* key, int shift) {
-    constexpr int kBits = 16;
-    constexpr int kBuckets = 1 << kBits;
-    std::vector<int64_t> count(kBuckets + 1, 0);
-    for (int64_t i = 0; i < n_edges; ++i)
-      ++count[((uint64_t)key[perm[i]] >> shift) & (kBuckets - 1)];
+    std::fill(counts.begin(), counts.end(), 0);
+
+    auto histogram = [&](int t) {
+      int64_t lo = t * chunk, hi = std::min(n_edges, lo + chunk);
+      int64_t* local = counts.data() + (size_t)t * kBuckets;
+      for (int64_t i = lo; i < hi; ++i)
+        ++local[((uint64_t)key[perm[i]] >> shift) & (kBuckets - 1)];
+    };
+    {
+      std::vector<std::thread> ts;
+      for (int t = 1; t < n_threads; ++t) ts.emplace_back(histogram, t);
+      histogram(0);
+      for (auto& th : ts) th.join();
+    }
+
+    // exclusive prefix over (bucket, thread): thread t's chunk of bucket b
+    // starts after all smaller buckets and after threads < t in bucket b
     int64_t sum = 0;
     for (int b = 0; b < kBuckets; ++b) {
-      int64_t c = count[b];
-      count[b] = sum;
-      sum += c;
+      for (int t = 0; t < n_threads; ++t) {
+        int64_t& c = counts[(size_t)t * kBuckets + b];
+        int64_t v = c;
+        c = sum;
+        sum += v;
+      }
     }
-    for (int64_t i = 0; i < n_edges; ++i) {
-      int64_t p = perm[i];
-      int b = ((uint64_t)key[p] >> shift) & (kBuckets - 1);
-      tmp_perm[count[b]++] = p;
+
+    auto scatter = [&](int t) {
+      int64_t lo = t * chunk, hi = std::min(n_edges, lo + chunk);
+      int64_t* local = counts.data() + (size_t)t * kBuckets;
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t p = perm[i];
+        int b = ((uint64_t)key[p] >> shift) & (kBuckets - 1);
+        tmp_perm[local[b]++] = p;
+      }
+    };
+    {
+      std::vector<std::thread> ts;
+      for (int t = 1; t < n_threads; ++t) ts.emplace_back(scatter, t);
+      scatter(0);
+      for (auto& th : ts) th.join();
     }
     perm.swap(tmp_perm);
   };
@@ -62,13 +101,23 @@ int sort_edges_by_row_col(int64_t* rows, int64_t* cols, float* vals,
   for (int shift = 0; shift < col_bits; shift += 16) radix_pass(cols, shift);
   for (int shift = 0; shift < row_bits; shift += 16) radix_pass(rows, shift);
 
-  // apply permutation out-of-place
+  // apply permutation out-of-place (parallel over output ranges)
   std::vector<int64_t> r(n_edges), c(n_edges);
   std::vector<float> v(n_edges);
-  for (int64_t i = 0; i < n_edges; ++i) {
-    r[i] = rows[perm[i]];
-    c[i] = cols[perm[i]];
-    v[i] = vals[perm[i]];
+  auto apply = [&](int t) {
+    int64_t lo = t * chunk, hi = std::min(n_edges, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t p = perm[i];
+      r[i] = rows[p];
+      c[i] = cols[p];
+      v[i] = vals[p];
+    }
+  };
+  {
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(apply, t);
+    apply(0);
+    for (auto& th : ts) th.join();
   }
   std::memcpy(rows, r.data(), n_edges * sizeof(int64_t));
   std::memcpy(cols, c.data(), n_edges * sizeof(int64_t));

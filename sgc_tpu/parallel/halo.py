@@ -66,60 +66,81 @@ def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
     Locally-owned columns never enter the exchange: the device-side gather
     table is ``concat(x_local, halo_buffer)`` and local edges index the
     first R rows directly. H is therefore the max REMOTE unique-column
-    count over (dst, src) pairs — intra-block edges cost nothing.
+    count over (dst, src) pairs — intra-block edges cost nothing. (H is a
+    single global width because ``all_to_all`` needs equal per-peer block
+    sizes; hub-heavy pairs therefore pad every pair's buffer —
+    ``halo_stats`` reports the mean/max widths so the padding cost is
+    visible.)
+
+    Fully vectorized: one sort of (dst_part, src_part, col) composite keys
+    replaces the former O(P^2) per-pair ``np.unique`` loops — the plan for
+    a 10M-edge graph at P=256 builds in seconds (see
+    tests/test_halo.py::test_build_halo_scales).
     """
     P = pgraph.n_parts
     R = pgraph.rows_per_part
     cols = np.asarray(pgraph.cols)          # [P, E_max] global columns
     vals = np.asarray(pgraph.vals)
+    e_max = cols.shape[1]
 
-    # per-(dst p, src q != p) unique needed remote columns
-    needed: list[list[np.ndarray]] = [[None] * P for _ in range(P)]
-    h_max = 1
-    for p in range(P):
-        real = vals[p] != 0
-        c = cols[p][real]
-        src = np.minimum(c // R, P - 1)
-        for q in range(P):
-            if q == p:
-                needed[p][q] = np.empty(0, dtype=np.int64)
-                continue
-            u = np.unique(c[src == q])
-            needed[p][q] = u
-            h_max = max(h_max, len(u))
-    H = _round_up(h_max, HALO_PAD)
+    real = (vals != 0).ravel()
+    flat_cols = cols.ravel().astype(np.int64)
+    dst = np.repeat(np.arange(P, dtype=np.int64), e_max)
+    src = np.minimum(flat_cols // R, P - 1)
 
-    send_idx = np.zeros((P, P, H), dtype=np.int32)
-    cols_halo = np.zeros_like(cols, dtype=np.int32)
-    for p in range(P):
-        # gather-table layout on chip p: rows [0, R) = x_local,
-        # rows [R + q*H, R + (q+1)*H) = halo block received from q.
-        for q in range(P):
-            if q == p:
-                continue
-            u = needed[p][q]
-            send_idx[q, p, : len(u)] = u - q * R   # local ids on q
-        real = vals[p] != 0
-        c = cols[p]
-        src = np.minimum(c // R, P - 1)
-        mapped = np.zeros(cols.shape[1], dtype=np.int32)
-        local = real & (src == p)
-        mapped[local] = (c[local] - p * R).astype(np.int32)
-        # remote columns, vectorized per source part: each needed[p][q] is
-        # sorted-unique, so the slot of a global column is its searchsorted
-        # position (no per-edge Python)
-        for q in range(P):
-            if q == p:
-                continue
-            u = needed[p][q]
-            if not len(u):
-                continue
-            sel = real & (src == q)
-            if not sel.any():
-                continue
-            slots = np.searchsorted(u, c[sel])
-            mapped[sel] = (R + q * H + slots).astype(np.int32)
-        cols_halo[p] = mapped
+    remote = real & (src != dst)
+    r_dst, r_src, r_col = dst[remote], src[remote], flat_cols[remote]
+    n_rem = len(r_col)
+
+    # composite key (dst, src, col); fits int64 alongside P^2 pairs.
+    # ONE argsort replaces the former per-pair np.unique loops AND the
+    # follow-up searchsorted: dedup flags, per-pair slots, and the edge
+    # remap all come from linear passes over the sorted order.
+    ncp = np.int64(P) * R                   # padded column space
+    pair = r_dst * P + r_src                # [0, P^2)
+    key = pair * ncp + r_col
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+
+    is_new = np.empty(n_rem, dtype=bool)
+    is_new_pair = np.empty(n_rem, dtype=bool)
+    if n_rem:
+        is_new[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_new[1:])
+        pair_s = ks // ncp
+        is_new_pair[0] = True
+        np.not_equal(pair_s[1:], pair_s[:-1], out=is_new_pair[1:])
+    else:
+        pair_s = ks
+
+    # unique id per sorted element; group-start uid propagated forward
+    uid = np.cumsum(is_new) - 1
+    group_uid0 = np.maximum.accumulate(np.where(is_new_pair, uid, -1))
+    slot_s = uid - group_uid0               # halo slot per sorted element
+
+    h_max = int(slot_s.max()) + 1 if n_rem else 1
+    H = _round_up(max(h_max, 1), HALO_PAD)
+
+    # send_idx[q, p, slot] = local row id on q  (flat scatter, one pass
+    # over the unique elements)
+    send_idx = np.zeros(P * P * H, dtype=np.int32)
+    u_pair = pair_s[is_new]
+    u_col = ks[is_new] % ncp
+    u_src = u_pair % P
+    u_dst = u_pair // P
+    send_flat = u_src * (P * H) + u_dst * H + slot_s[is_new]
+    send_idx[send_flat] = (u_col - u_src * R).astype(np.int32)
+    send_idx = send_idx.reshape(P, P, H)
+
+    # remap every edge column into the gather-table layout on its chip:
+    # rows [0, R) = x_local, rows [R + q*H, R + (q+1)*H) = halo from q
+    mapped = np.zeros(P * e_max, dtype=np.int32)
+    local = real & (src == dst)
+    mapped[local] = (flat_cols[local] - dst[local] * R).astype(np.int32)
+    remote_map = np.empty(n_rem, dtype=np.int32)
+    remote_map[order] = (R + (pair_s % P) * H + slot_s).astype(np.int32)
+    mapped[remote] = remote_map
+    cols_halo = mapped.reshape(P, e_max)
 
     return HaloDescriptor(
         send_idx=jnp.asarray(send_idx),
@@ -127,6 +148,34 @@ def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
         halo_width=H,
         n_parts=P,
     )
+
+
+def halo_stats(pgraph: PartitionedGraph) -> dict:
+    """Per-pair halo-width distribution (padding-cost diagnostics).
+
+    Returns mean/max unique-remote-column counts over (dst, src) pairs and
+    the padding overhead factor max/mean — the cost of the uniform
+    ``all_to_all`` block size relative to a ragged exchange.
+    """
+    P = pgraph.n_parts
+    R = pgraph.rows_per_part
+    cols = np.asarray(pgraph.cols).ravel().astype(np.int64)
+    vals = np.asarray(pgraph.vals).ravel()
+    dst = np.repeat(np.arange(P, dtype=np.int64), pgraph.edges_per_part)
+    src = np.minimum(cols // R, P - 1)
+    remote = (vals != 0) & (src != dst)
+    pair = dst[remote] * P + src[remote]
+    key = pair * (np.int64(P) * R) + cols[remote]
+    counts = np.bincount(np.unique(key) // (np.int64(P) * R),
+                         minlength=P * P)
+    off_diag = counts.reshape(P, P)[~np.eye(P, dtype=bool)]
+    mean_w = float(off_diag.mean()) if off_diag.size else 0.0
+    max_w = int(off_diag.max()) if off_diag.size else 0
+    return {
+        "mean_pair_width": mean_w,
+        "max_pair_width": max_w,
+        "padding_factor": (max_w / mean_w) if mean_w > 0 else 1.0,
+    }
 
 
 def halo_fraction(halo: HaloDescriptor, pgraph: PartitionedGraph) -> float:

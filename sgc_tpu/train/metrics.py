@@ -58,6 +58,18 @@ def f1(logits, labels) -> tuple[float, float]:
     return float(micro), float(per_class.mean())
 
 
+def f1_macro(preds, labels) -> float:
+    """Unweighted class-mean F1 over classes present in labels or preds
+    (sklearn average='macro' on the union label set; reference
+    trainv2.py:195-204 aggregates this over re-read results files)."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    classes = np.union1d(np.unique(preds), np.unique(labels))
+    n = int(classes.max()) + 1 if classes.size else 1
+    tp, fp, fn = _per_class_counts(preds, labels, n)
+    return float(_f1_from_counts(tp, fp, fn)[classes.astype(int)].mean())
+
+
 def f1_weighted(preds, labels) -> float:
     """Support-weighted F1 (sklearn average='weighted')."""
     preds = np.asarray(preds)

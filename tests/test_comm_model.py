@@ -1,0 +1,94 @@
+"""Comm-model + archived-results scorer tests (VERDICT round-1 #4/#6)."""
+
+import numpy as np
+
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.parallel.partition import partition_graph
+from sgc_tpu.parallel.scaling import comm_model
+
+
+def _graph(n=512, e=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    return SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        np.ones(e, np.float32), n, n,
+    )
+
+
+def test_comm_model_keys_and_consistency():
+    g = _graph()
+    m = comm_model(g, feature_dim=64, n_devices=4,
+                   single_rate_edges_s=1e8)
+    assert m["devices"] == 4
+    assert m["ici_bytes_per_hop_halo"] == 3 * m["halo_width"] * 64 * 4
+    assert m["ici_bytes_per_hop_allgather"] > 0
+    assert 0 < m["projected_efficiency_halo"] <= 1.0
+    assert 0 < m["projected_efficiency_allgather"] <= 1.0
+    assert m["plan_build_s"] >= 0.0
+    # the halo exchange never moves more than the all-gather
+    assert (m["ici_bytes_per_hop_halo"]
+            <= m["ici_bytes_per_hop_allgather"] * 4)
+
+
+def test_comm_model_block_diagonal_cheap():
+    """A perfectly partitionable graph has near-zero halo bytes."""
+    n, P = 512, 4
+    rng = np.random.default_rng(1)
+    block = n // P
+    src = rng.integers(0, n, 4000)
+    dst = (src // block) * block + rng.integers(0, block, 4000)
+    g = SparseGraph.from_coo(src, dst, np.ones(4000, np.float32), n, n)
+    m = comm_model(g, 64, P, 1e8)
+    assert m["halo_fraction"] < 0.1
+    assert m["projected_efficiency_halo"] >= m["projected_efficiency_allgather"]
+
+
+def test_comm_model_slow_chip_is_compute_bound():
+    """A slow single-chip rate makes everything compute-bound (eff -> 1)."""
+    g = _graph(seed=2)
+    m = comm_model(g, 64, 4, single_rate_edges_s=1e4)
+    assert m["projected_efficiency_halo"] == 1.0
+
+
+def test_score_results_roundtrip(tmp_path):
+    from sgc_tpu.cli.score_results import score_file, score_files
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 5, 200)
+    preds = labels.copy()
+    flip = rng.random(200) < 0.3
+    preds[flip] = rng.integers(0, 5, flip.sum())
+
+    p = tmp_path / "ds.0.results.txt"
+    np.savetxt(p, np.concatenate([preds, labels])[:, None], fmt="%d")
+    r = score_file(p)
+    assert abs(r["accuracy"] - (preds == labels).mean()) < 1e-12
+
+    # sklearn oracles
+    from sklearn.metrics import f1_score
+
+    assert abs(r["f1_macro"] - f1_score(labels, preds, average="macro")) < 1e-9
+    assert abs(
+        r["f1_weighted"] - f1_score(labels, preds, average="weighted")
+    ) < 1e-9
+
+    out = score_files([p, p])
+    assert out["aggregate"]["accuracy_std"] == 0.0
+
+
+def test_score_results_matches_reference_archive():
+    """The archived SGC_ref covid folds score to the published 0.5804."""
+    from pathlib import Path
+
+    from sgc_tpu.cli.score_results import score_files
+
+    base = Path("/root/reference/downstream/TextSGC_ref/results")
+    files = sorted(
+        base.glob("covid_19_production.[0-4].SGC_ref.results.txt")
+    )
+    if len(files) != 5:
+        import pytest
+
+        pytest.skip("reference archive not mounted")
+    agg = score_files(files)["aggregate"]
+    assert abs(agg["accuracy_mean"] - 0.5804) < 0.001

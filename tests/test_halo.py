@@ -136,3 +136,91 @@ def test_halo_single_row_per_part_graph():
     np.testing.assert_allclose(
         np.asarray(out)[:n], adj @ np.asarray(x), atol=1e-6
     )
+
+
+def test_build_halo_scales_p256_10m_edges():
+    """Plan build at pod scale: P=256, 10M edges, < 5 s host-side
+    (VERDICT round-1 #5 acceptance; the former O(P^2)-unique loop was
+    hopeless here)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n, e = 1_000_000, 10_000_000
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    vals = np.ones(e, np.float32)
+    from sgc_tpu.graph.sparse import SparseGraph as SG
+
+    graph = SG.from_coo(rows, cols, vals, n, n)
+    pgraph = partition_graph(graph, 256)
+    t0 = time.perf_counter()
+    halo = build_halo(pgraph)
+    dt = time.perf_counter() - t0
+    assert halo.n_parts == 256
+    assert halo.halo_width > 0
+    assert dt < 5.0, f"build_halo took {dt:.1f}s at P=256/10M edges"
+
+
+def test_build_halo_vectorized_matches_loop_reference():
+    """The one-sort plan build vs an independent per-pair reference."""
+    rng = np.random.default_rng(5)
+    n, e, P = 96, 700, 4
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    vals = rng.random(e).astype(np.float32) + 0.1
+    from sgc_tpu.graph.sparse import SparseGraph as SG
+
+    graph = SG.from_coo(rows, cols, vals, n, n)
+    pgraph = partition_graph(graph, P)
+    halo = build_halo(pgraph)
+
+    R = pgraph.rows_per_part
+    H = halo.halo_width
+    send_idx = np.asarray(halo.send_idx)
+    cols_halo = np.asarray(halo.cols_halo)
+    pcols = np.asarray(pgraph.cols)
+    pvals = np.asarray(pgraph.vals)
+
+    for p in range(P):
+        real = pvals[p] != 0
+        c = pcols[p][real]
+        src = np.minimum(c // R, P - 1)
+        for q in range(P):
+            if q == p:
+                continue
+            u = np.unique(c[src == q])
+            # same slots, same padding
+            np.testing.assert_array_equal(
+                send_idx[q, p, : len(u)], u - q * R
+            )
+            assert np.all(send_idx[q, p, len(u):] == 0)
+            # every remote edge points at the right halo slot
+            sel = real.copy()
+            sel[real] = src == q
+            expect = R + q * H + np.searchsorted(u, c[src == q])
+            np.testing.assert_array_equal(cols_halo[p][sel], expect)
+        # local edges map to local ids
+        sel = real.copy()
+        sel[real] = src == p
+        np.testing.assert_array_equal(
+            cols_halo[p][sel], c[src == p] - p * R
+        )
+
+
+def test_halo_stats_reports_padding():
+    from sgc_tpu.parallel.halo import halo_stats
+
+    rng = np.random.default_rng(6)
+    n, e = 256, 3000
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    from sgc_tpu.graph.sparse import SparseGraph as SG
+
+    graph = SG.from_coo(rows, cols, np.ones(e, np.float32), n, n)
+    pgraph = partition_graph(graph, 4)
+    stats = halo_stats(pgraph)
+    assert stats["max_pair_width"] >= stats["mean_pair_width"] > 0
+    assert stats["padding_factor"] >= 1.0
+    # consistency with the plan's H (pre-rounding bound)
+    halo = build_halo(pgraph)
+    assert halo.halo_width >= stats["max_pair_width"]

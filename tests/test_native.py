@@ -141,3 +141,42 @@ def test_numpy_fallback_paths(monkeypatch):
         np.testing.assert_array_equal(ptr[-1], len(r))
     finally:
         nat._lib = lib
+
+
+def test_sort_edges_benchmark_vs_lexsort():
+    """Measured parallel-radix vs np.lexsort at 12M edges (report-only —
+    VERDICT round-1 #7: numbers backing the 'Python sort is the host
+    bottleneck' rationale; correctness asserted, speed printed)."""
+    import time
+
+    from sgc_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(0)
+    n, e = 1_000_000, 12_000_000
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    vals = rng.random(e).astype(np.float32)
+
+    t0 = time.perf_counter()
+    r_n, c_n, v_n = native.sort_edges(rows, cols, vals, n, n)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    order = np.lexsort((cols, rows))
+    t_lex = time.perf_counter() - t0
+    r_l, c_l, v_l = rows[order], cols[order], vals[order]
+
+    # both sorts are stable by (row, col): results agree exactly,
+    # including the val order of duplicate (row, col) pairs
+    np.testing.assert_array_equal(r_n, r_l)
+    np.testing.assert_array_equal(c_n, c_l)
+    np.testing.assert_array_equal(v_n, v_l)
+
+    print(
+        f"\nsort_edges 12M edges: native parallel radix "
+        f"{t_native:.2f}s vs np.lexsort(sort only) {t_lex:.2f}s "
+        f"({t_lex / t_native:.1f}x)"
+    )
