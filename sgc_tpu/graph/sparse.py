@@ -150,6 +150,32 @@ class SparseGraph:
         """Same sparsity pattern, new edge values (traced-value friendly)."""
         return dataclasses.replace(self, vals=vals)
 
+    def row_subgraph(self, row_indices: np.ndarray) -> "SparseGraph":
+        """Keep only edges whose ROW is in ``row_indices``; rows are
+        renumbered to positions in ``row_indices`` (columns unchanged).
+
+        Host-side, O(E). The resulting (len(rows_indices), n_cols) operator
+        computes exactly the selected output rows of this matrix:
+        ``spmm(g.row_subgraph(idx), x) == spmm(g, x)[idx]``. This is the
+        dead-row-elimination lever for pipelines that slice SpMM output
+        (e.g. the final hop of sgc_precompute feeding only train rows —
+        reference reddit.py:44-47 trains on a row subset).
+        """
+        row_indices = np.asarray(row_indices, dtype=np.int64)
+        if len(np.unique(row_indices)) != len(row_indices):
+            raise ValueError("row_subgraph requires unique row indices")
+        lookup = np.full(self.n_rows, -1, dtype=np.int64)
+        lookup[row_indices] = np.arange(len(row_indices))
+        rows = np.asarray(self.rows)[: self.nnz]
+        keep = lookup[rows] >= 0
+        return SparseGraph.from_coo(
+            lookup[rows[keep]],
+            np.asarray(self.cols)[: self.nnz][keep],
+            np.asarray(self.vals)[: self.nnz][keep],
+            len(row_indices),
+            self.n_cols,
+        )
+
     # --------------------------------------------------------------- utils
 
     def degrees(self) -> jnp.ndarray:

@@ -232,6 +232,11 @@ def lbfgs_fit_pytree(
     ``epochs`` torch ``.step()`` calls == ``epochs * max_iter`` iterations
     of the persistent-state loop (see module docstring).
     """
+    # A history longer than the total iteration count is mathematically
+    # inert (the circular buffer never fills past n_iter pairs) but the
+    # two-loop recursion still scans all m slots per iteration; capping
+    # m at the iteration count is an exact, free speedup.
+    history_size = min(history_size, epochs * max_iter)
     flat0, unravel = ravel_pytree(params)
 
     def flat_loss(flat):

@@ -187,3 +187,35 @@ def test_normalization_registry_lists_all():
 
     with _pytest.raises(ValueError):
         fetch_normalization("Bogus")
+
+
+def test_row_subgraph_equals_sliced_spmm():
+    """spmm(g.row_subgraph(idx), x) == spmm(g, x)[idx] — the dead-row
+    elimination used by the bench's final hop."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(11)
+    n, e, f = 300, 2500, 17
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.random(e).astype(np.float32), n, n,
+    )
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    idx = np.sort(rng.choice(n, 120, replace=False))
+
+    full = np.asarray(spmm(g, x, impl="segment"))[idx]
+    sub = np.asarray(spmm(g.row_subgraph(idx), x, impl="segment"))
+    np.testing.assert_allclose(sub, full, rtol=1e-6, atol=1e-6)
+
+    # unsorted (but unique) selections also work — renumber, not mask
+    idx2 = np.array([5, 17, 2, 299, 0])
+    full2 = np.asarray(spmm(g, x, impl="segment"))[idx2]
+    sub2 = np.asarray(spmm(g.row_subgraph(idx2), x, impl="segment"))
+    np.testing.assert_allclose(sub2, full2, rtol=1e-6, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        g.row_subgraph(np.array([1, 1, 2]))
