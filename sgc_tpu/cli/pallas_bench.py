@@ -24,19 +24,20 @@ import time
 import numpy as np
 
 
-def pallas_cost_model(tiled, feature_dim: int) -> dict:
+def pallas_cost_model(tiled, feature_dim: int, feature_tile: int = 256) -> dict:
     """FLOPs/bytes the cell-tiled kernel performs, from the tiling alone.
 
     Per edge chunk per feature tile: gather one-hot (C, W) @ (W, Ft) and
     scatter one-hot (R, C) @ (C, Ft) — 2*C*(W+R)*Ft flops. HBM: the x
     stripe stream is re-read once per row block; edges re-read once per
-    feature tile; output written once.
+    feature tile; output written once. Mirrors the Ft/f_pad selection of
+    spmm_pallas_tiled; the audit test pins the two against each other.
     """
     R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
     n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
-    f_pad = -(-feature_dim // 128) * 128
-    ft = min(256, max(f_pad, 128))
-    n_ft = f_pad // ft if f_pad % ft == 0 else -(-f_pad // ft)
+    ft = min(feature_tile, max(feature_dim, 128))
+    f_pad = feature_dim + ((-feature_dim) % ft)
+    n_ft = f_pad // ft
     e_padded = int(tiled.rows.shape[0])
     n_chunks = e_padded // C
     flops = 2 * C * (W + R) * ft * n_chunks * n_ft

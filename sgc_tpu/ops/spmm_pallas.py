@@ -301,7 +301,11 @@ def spmm_pallas_tiled(
     kernel = partial(
         _spmm_kernel, R=R, W=W, C=C, Ft=Ft, n_st=n_st, mm_dtype=mm_dtype,
     )
-    edge_flops = 2 * (W + R) * Ft * tiled.rows.shape[0]
+    # One-hot gather (C,W)@(W,Ft) + scatter (R,C)@(C,Ft) per chunk per
+    # feature tile -> 2*(W+R)*Ft flops per padded edge per f-tile. The
+    # audit test (tests/test_spmm_pallas.py) pins this against an
+    # independent per-matmul count.
+    edge_flops = 2 * (W + R) * Ft * tiled.rows.shape[0] * n_ft
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rb * R, x.shape[1]), jnp.float32),

@@ -195,3 +195,82 @@ def test_sddmm_padding_slots_zero():
         re = graph.with_vals(jnp.asarray(v))
         out = np.asarray(spmm(re, a))
         assert np.all(np.isfinite(out))
+
+
+def test_cost_estimate_audit_matches_independent_count():
+    """The kernel's declared CostEstimate must equal an independent
+    enumeration of its matmuls (VERDICT round-1 #9: the cost model is a
+    claim about the kernel — audit it, don't trust it)."""
+    import jax.experimental.pallas as pl_mod
+
+    from sgc_tpu.cli.pallas_bench import pallas_cost_model
+    from sgc_tpu.ops import spmm_pallas as mod
+
+    rng = np.random.default_rng(0)
+    n, e, f = 600, 5000, 70
+    graph = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.random(e).astype(np.float32), n, n,
+    )
+    x = jnp.asarray(rng.random((n, f)).astype(np.float32))
+    R, W, C, Ft = 256, 256, 64, 128
+    tiled = mod.tile_graph(graph, row_block=R, stripe=W, chunk=C)
+
+    captured = {}
+    orig = pl_mod.pallas_call
+
+    def capture(*args, **kw):
+        if "cost_estimate" in kw and kw["cost_estimate"] is not None:
+            captured["cost"] = kw["cost_estimate"]
+        return orig(*args, **kw)
+
+    mod.pl.pallas_call = capture
+    try:
+        out = mod.spmm_pallas_tiled(tiled, x, feature_tile=Ft,
+                                    interpret=True)
+    finally:
+        mod.pl.pallas_call = orig
+    assert "cost" in captured, "kernel no longer declares a CostEstimate"
+
+    # independent count: walk the actual grid the kernel executes —
+    # every chunk of every nonempty cell does one (C,W)@(W,Ft) and one
+    # (R,C)@(C,Ft) matmul, once per feature tile
+    f_pad = f + ((-f) % min(Ft, max(f, 128)))
+    ft = min(Ft, max(f, 128))
+    n_ft = f_pad // ft
+    flops = 0
+    for i in range(tiled.n_row_blocks):
+        for j in range(tiled.n_stripes):
+            n_chunks = int(tiled.cell_nchunks[i, j])
+            flops += n_chunks * (2 * C * W * ft + 2 * R * C * ft) * n_ft
+    assert captured["cost"].flops == flops, (
+        f"declared {captured['cost'].flops} != enumerated {flops}"
+    )
+
+    # the CLI's cost model agrees with the kernel's declaration
+    model = pallas_cost_model(tiled, f, feature_tile=Ft)
+    assert model["flops"] == flops
+
+    # and the kernel's output is still the correct SpMM
+    ref = np.asarray(graph.to_scipy() @ np.asarray(x))
+    got = np.asarray(out)[:n, :f]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bench_cli_runs(monkeypatch, capsys):
+    """pallas_bench CLI end-to-end (interpret mode on CPU)."""
+    import json
+    import sys
+
+    from sgc_tpu.cli import pallas_bench
+
+    monkeypatch.setattr(sys, "argv", [
+        "pallas_bench", "--scale", "0.005", "--row_block", "512",
+        "--stripe", "512", "--chunk", "128", "--json",
+    ])
+    pallas_bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pallas_mode"] == "interpret"
+    assert out["xla_edges_per_s"] > 0
+    assert out["rel_err_vs_xla"] < 1e-4
+    assert out["cost_model"]["flops"] > 0
