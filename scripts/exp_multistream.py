@@ -70,13 +70,19 @@ def main():
         cols_k = graph.cols.reshape(K, ek)
         vals_k = graph.vals.reshape(K, ek)
 
-        def multi(x, rows_k=rows_k, cols_k=cols_k, vals_k=vals_k):
-            def one(r, c, v):
-                g = jnp.take(x, c, axis=0) * v[:, None]
-                return jax.ops.segment_sum(
-                    g, r, num_segments=n, indices_are_sorted=True)
-            parts = jax.vmap(one)(rows_k, cols_k, vals_k)
-            return parts.sum(axis=0)
+        def multi(x, rows_k=rows_k, cols_k=cols_k, vals_k=vals_k, K=K):
+            # unrolled (NOT vmap — the batched form trips the tunnel's
+            # remote-compile helper): K independent fused gather+segment
+            # loops XLA can overlap, then a tree-sum of partials
+            parts = []
+            for s in range(K):
+                g = jnp.take(x, cols_k[s], axis=0) * vals_k[s][:, None]
+                parts.append(jax.ops.segment_sum(
+                    g, rows_k[s], num_segments=n, indices_are_sorted=True))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            return out
 
         t, out = timed(f"seg_k{K}", jax.jit(multi), x)
         if out is not None and ref is not None:
