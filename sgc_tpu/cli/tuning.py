@@ -56,11 +56,15 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path):
     return best, -loss
 
 
-def tune_text(dataset, degree, epochs, max_evals, seed, data_path, subset):
+def tune_text(dataset, degree, epochs, max_evals, seed, data_path, subset,
+              fold=None):
+    """``fold`` selects a cross-validation fold — the per-fold tuning
+    workflow of reference TextSGC_ref/tuningv2.py:24-67 (each fold gets
+    its own TPE search; results feed crossval --per-fold wd)."""
     from sgc_tpu.data.textcorpus import load_corpus
 
     key = set_seed(seed)
-    data = load_corpus(dataset, subset, data_path)
+    data = load_corpus(dataset, subset, data_path, fold=fold)
     binary = dataset == "mr"
     feat_dict, _ = text_structural_features(
         data.graph, data.index_dict, degree=degree
@@ -100,6 +104,9 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=0.2)
     parser.add_argument("--max_evals", type=int, default=60)
     parser.add_argument("--subset", default="BCD")
+    parser.add_argument("--fold", type=int, default=None,
+                        help="cross-validation fold (per-fold tuning, "
+                        "reference tuningv2.py)")
     parser.add_argument("--data_path", default=None)
     parser.add_argument("--output", default="tuned")
     args = parser.parse_args()
@@ -114,12 +121,14 @@ def main() -> None:
         epochs = args.epochs or 3
         best, val_acc = tune_text(
             args.dataset, args.degree, epochs, args.max_evals, args.seed,
-            args.data_path, args.subset,
+            args.data_path, args.subset, fold=args.fold,
         )
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
-    out_path = out_dir / f"{args.dataset}.json"
+    stem = (args.dataset if args.fold is None
+            else f"{args.dataset}.{args.fold}")
+    out_path = out_dir / f"{stem}.json"
     with open(out_path, "w") as f:
         json.dump({"weight_decay": best["weight_decay"],
                    "val_accuracy": val_acc}, f)

@@ -218,3 +218,45 @@ def test_binary_mr_path(tmp_path):
         subset="BCD", data_path=str(tmp_path),
     )
     assert res["test_accuracy"] > 0.9  # separable vocabulary
+
+
+def test_per_fold_tuning_cli(tiny_corpus, monkeypatch, capsys):
+    """Per-fold TPE tuning (reference TextSGC_ref/tuningv2.py:24-67):
+    each fold's search reads that fold's id pickles and writes
+    <ds>.<fold>.json, consumable as crossval per-fold weight decay."""
+    import json
+
+    meta, corpus, out = tiny_corpus
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.data.crossval import make_crossval_ids
+
+    build_and_export(
+        str(meta), str(corpus), "tiny", str(out), window=5, val_fraction=0.2
+    )
+    make_crossval_ids(meta, out, "tiny", n_folds=3, seed=0)
+
+    from sgc_tpu.cli import tuning as tuning_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "tuning", "--family", "text", "--dataset", "tiny", "--fold", "1",
+        "--max_evals", "6", "--data_path", str(out),
+        "--output", str(out / "tuned"),
+    ])
+    tuning_cli.main()
+    line = capsys.readouterr().out
+    assert "best weight_decay" in line
+
+    with open(out / "tuned" / "tiny.1.json") as f:
+        rec = json.load(f)
+    assert 1e-6 <= rec["weight_decay"] <= 1.0
+    assert rec["val_accuracy"] > 0.5
+
+    # the tuned value drives the matching crossval fold
+    from sgc_tpu.cli.crossval import run_crossval
+
+    summary = run_crossval(
+        "tiny", folds=2, subset="BCD", epochs=2,
+        per_fold_tuned={1: rec["weight_decay"]},
+        data_path=str(out), results_dir=None,
+    )
+    assert summary["accuracy_mean"] > 0.7
