@@ -183,7 +183,8 @@ def main() -> None:
     try:
         from sgc_tpu.parallel.scaling import comm_model
 
-        model = comm_model(graph, features.shape[1], 8, single_rate)
+        model = comm_model(graph, features.shape[1], 8, single_rate,
+                           build_plan=False)
     except Exception as exc:  # model failure must not kill the bench
         log(f"comm model failed: {exc}")
         model = {}

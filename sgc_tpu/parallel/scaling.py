@@ -105,6 +105,7 @@ def comm_model(
     single_rate_edges_s: float,
     bytes_per_elem: int = 4,
     ici_gbps: float = V5E_ICI_GBPS,
+    build_plan: bool = True,
 ) -> dict:
     """Per-hop ICI byte counts + projected N-chip scaling efficiency.
 
@@ -122,15 +123,27 @@ def comm_model(
     model inputs (H, halo fraction, bytes, assumed ICI bw) are all in the
     output, so a future real-pod measurement can be checked against it.
     """
-    from sgc_tpu.parallel.halo import halo_fraction
+    from sgc_tpu.parallel.halo import halo_stats
+    from sgc_tpu.parallel.partition import _round_up
 
     t0 = time.perf_counter()
     pgraph = partition_graph(graph, n_devices)
-    halo = build_halo(pgraph)
+    if build_plan:
+        # materialize the full exchange plan (send_idx + edge remap) —
+        # what a real run would build; timing reported as plan_build_s
+        halo = build_halo(pgraph)
+        H = halo.halo_width
+    else:
+        # sizing-only path (bench.py): per-pair width counting gives H
+        # without the remap/scatter passes — same model numbers, a
+        # fraction of the host time at 10M+ edges
+        from sgc_tpu.parallel.halo import HALO_PAD
+
+        stats = halo_stats(pgraph)
+        H = _round_up(max(stats["max_pair_width"], 1), HALO_PAD)
     plan_build_s = time.perf_counter() - t0
 
     P = n_devices
-    H = halo.halo_width
     F = feature_dim
     # all_to_all: each chip sends (P-1) blocks of H rows and receives the
     # same; count one direction (links are full duplex).
@@ -150,7 +163,7 @@ def comm_model(
     return {
         "devices": P,
         "halo_width": H,
-        "halo_fraction": round(halo_fraction(halo, pgraph), 4),
+        "halo_fraction": round(P * H / pgraph.n_rows_padded, 4),
         "plan_build_s": round(plan_build_s, 3),
         "ici_bytes_per_hop_halo": int(halo_bytes),
         "ici_bytes_per_hop_allgather": int(allgather_bytes),

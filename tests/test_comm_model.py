@@ -92,3 +92,15 @@ def test_score_results_matches_reference_archive():
         pytest.skip("reference archive not mounted")
     agg = score_files(files)["aggregate"]
     assert abs(agg["accuracy_mean"] - 0.5804) < 0.001
+
+
+def test_comm_model_sizing_only_matches_full_build():
+    """build_plan=False (the bench path) must report the same model
+    numbers as the full plan build — only plan_build_s may differ."""
+    g = _graph(seed=4)
+    full = comm_model(g, 32, 4, 1e8, build_plan=True)
+    light = comm_model(g, 32, 4, 1e8, build_plan=False)
+    for k in ("halo_width", "halo_fraction", "ici_bytes_per_hop_halo",
+              "ici_bytes_per_hop_allgather", "projected_efficiency_halo",
+              "projected_efficiency_allgather"):
+        assert full[k] == light[k], (k, full[k], light[k])
