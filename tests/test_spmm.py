@@ -164,3 +164,29 @@ class TestPropagationVariants:
         assert fetch_propagator("sgc") is propagate
         with _pytest.raises(ValueError):
             fetch_propagator("bogus")
+
+
+def test_sgc_precompute_out_rows_exact():
+    """sgc_precompute(out_rows=idx) == full propagation sliced to idx —
+    the dead-row-elimination API (bench hop-2 lever, generalized)."""
+    import numpy as np
+
+    from sgc_tpu.ops.propagate import sgc_precompute
+
+    rng = np.random.default_rng(21)
+    n, e, f = 400, 3000, 24
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.random(e).astype(np.float32), n, n,
+    )
+    x = jax.numpy.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    idx = np.sort(rng.choice(n, 150, replace=False))
+
+    for k in (1, 2, 3):
+        full, _ = sgc_precompute(x, g, k)
+        sub, t = sgc_precompute(x, g, k, out_rows=idx)
+        assert sub.shape == (150, f)
+        np.testing.assert_allclose(
+            np.asarray(sub), np.asarray(full)[idx], rtol=1e-5, atol=1e-6
+        )
+        assert t >= 0.0
