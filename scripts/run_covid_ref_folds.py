@@ -26,8 +26,11 @@ REF_TUNED = Path("/root/reference/downstream/TextSGC_ref/tuned_result")
 DS = "covid_19_production"
 
 
-def build_graph(run_dir: Path) -> Path:
-    """Reference-faithful corpus clean + graph build (cached)."""
+def build_graph(run_dir: Path, best: bool = False) -> Path:
+    """Corpus clean + graph build (cached). ``best`` switches from the
+    reference-faithful config (window 20, plain TF-IDF) to the improved
+    one (window 15, chi-squared selection p<0.10, pivoted TF-IDF) that
+    beat the reference by +1.5pp on the fixed split (RESULTS.md)."""
     data_dir = run_dir / "data"
     stamp = data_dir / ".build_complete"
     if stamp.exists():
@@ -48,10 +51,17 @@ def build_graph(run_dir: Path) -> Path:
     docs = build_corpus_file(META, corpus, doc_root=DOCS, rewrite=rewrite)
     assert len(docs) == 9187, f"corpus drifted: {len(docs)} docs"
     clean_corpus(corpus, clean, min_freq=5)
-    build_and_export(
-        str(META), str(clean), DS, str(data_dir),
-        window=20, val_fraction=0.1, seed=42,
-    )
+    if best:
+        build_and_export(
+            str(META), str(clean), DS, str(data_dir),
+            window=15, pivoted=True, p_value=0.10,
+            val_fraction=0.1, seed=42,
+        )
+    else:
+        build_and_export(
+            str(META), str(clean), DS, str(data_dir),
+            window=20, val_fraction=0.1, seed=42,
+        )
     stamp.touch()
     print(f"graph build: {time.perf_counter()-t0:.0f}s", flush=True)
     return data_dir
@@ -61,10 +71,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_dir", default="/tmp/covid_ref_folds")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--best", action="store_true",
+                    help="chi2+pivoted+window15 build instead of faithful")
     args = ap.parse_args()
 
     run_dir = Path(args.run_dir)
-    data_dir = build_graph(run_dir)
+    data_dir = build_graph(run_dir, best=args.best)
 
     # reference's exact fold ids
     for f in REF_FOLDS.glob(f"ind.{DS}.*.*.x"):

@@ -26,9 +26,12 @@ Design (see SURVEY.md §7 "hard parts" #1):
       gathered = onehot(cols_local, W) @ x_stripe        (C, Ft)
       acc     += onehot_T(rows_local, R) @ (gathered * vals)  (R, Ft)
   One-hot matmul trades (W + R) * 2 * Ft flops/edge for perfectly regular
-  MXU work — on a v5e this is compute-bound at ~150 ms for Reddit-scale
-  (11.6M edges, F=640) per hop, with the HBM side (~34 GB of stripe
-  re-reads at R=2048) fully overlapped by the automatic block pipeline.
+  MXU work. MODEL ESTIMATE (never measured compiled — see below): at
+  Reddit scale the audited cost model (cli/pallas_bench.py, CostEstimate
+  audit test) gives ~91 TFLOP/hop at the R=W=2048 defaults (~460 ms bf16
+  at v5e peak; smaller cells trade FLOPs against chunk padding and stripe
+  re-reads — ~35 TFLOP at R=W=1024/C=256), with the HBM stripe stream
+  (x re-read once per row block) overlapped by the block pipeline.
 * Deterministic: edges have a fixed order per cell and accumulation is
   f32 adds in stripe-major order, so results are bitwise reproducible
   run-to-run (the adversarial case for parity tests, SURVEY.md §4c).
