@@ -46,28 +46,15 @@ def log(msg: str) -> None:
 
 
 def synthetic_reddit(scale: float):
-    import scipy.sparse as sp
-
-    from sgc_tpu.graph.normalize import aug_normalized_adjacency
-    from sgc_tpu.graph.sparse import SparseGraph
+    # canonical generator lives in the package (sgc_tpu/data/synthetic.py);
+    # re-exported here because scripts/ and older callers import it from
+    # bench
+    from sgc_tpu.data.synthetic import synthetic_reddit as gen
 
     n = max(int(REDDIT_NODES * scale), 1024)
     e = max(int(REDDIT_EDGES * scale), 4096)
-    rng = np.random.default_rng(42)
-
     log(f"building synthetic reddit: {n} nodes, ~{e} edges")
-    src = (rng.random(e // 2) ** 2 * n).astype(np.int64) % n
-    dst = rng.integers(0, n, e // 2)
-    adj = sp.coo_matrix(
-        (np.ones(e // 2, dtype=np.float32), (src, dst)), shape=(n, n)
-    )
-    adj = adj + adj.T
-    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
-
-    features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
-    labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
-    n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
-    return graph, features, labels, np.arange(n_train)
+    return gen(scale)
 
 
 def real_reddit():

@@ -32,10 +32,21 @@ def build_graph(run_dir: Path, best: bool = False) -> Path:
     one (window 15, chi-squared selection p<0.10, pivoted TF-IDF) that
     beat the reference by +1.5pp on the fixed split (RESULTS.md)."""
     data_dir = run_dir / "data"
-    stamp = data_dir / ".build_complete"
+    # stamp encodes the build config: a faithful-config cache must never
+    # be silently reused for --best (and vice versa)
+    tag = "best" if best else "faithful"
+    stamp = data_dir / f".build_complete.{tag}"
     if stamp.exists():
-        print(f"reusing graph build in {data_dir}", flush=True)
+        print(f"reusing {tag} graph build in {data_dir}", flush=True)
         return data_dir
+    if data_dir.exists():
+        import sys
+
+        other = data_dir / (".build_complete."
+                            + ("faithful" if best else "best"))
+        if other.exists():
+            sys.exit(f"{data_dir} holds a {other.suffix[1:]} build; use a "
+                     f"different --run_dir for the {tag} config")
 
     from sgc_tpu.cli.build_graph import build_and_export
     from sgc_tpu.textgraph.clean import build_corpus_file, clean_corpus

@@ -76,7 +76,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from bench import synthetic_reddit
+    from sgc_tpu.data.synthetic import synthetic_reddit
     from sgc_tpu.ops.spmm import spmm_segment
     from sgc_tpu.ops.spmm_pallas import (
         _default_interpret,
@@ -109,7 +109,8 @@ def main() -> None:
     out["xla_edges_per_s"] = int(graph.nnz / t_seg)
 
     tiled = tile_graph(graph, a.row_block, a.stripe, a.chunk)
-    out["cost_model"] = pallas_cost_model(tiled, f)
+    out["cost_model"] = pallas_cost_model(
+        tiled, f, feature_tile=a.feature_tile)
 
     interpret = a.interpret or _default_interpret()
     out["pallas_mode"] = "interpret" if interpret else "compiled"

@@ -84,7 +84,11 @@ def main() -> None:
         rep = measure_spmm_scaling(
             graph, x, n_devices=nd, hops=a.hops, repeats=a.repeats
         )
-        model = comm_model(graph, a.features, nd, rep.single_rate)
+        # sizing-only: measure_spmm_scaling already built the full plan
+        # for the measured run; rebuilding it here would double the most
+        # expensive host-side work per device count
+        model = comm_model(graph, a.features, nd, rep.single_rate,
+                           build_plan=False)
         if a.json:
             print(json.dumps({
                 "devices": rep.n_devices,
@@ -92,6 +96,7 @@ def main() -> None:
                 "sharded_edges_per_s": rep.sharded_rate,
                 "efficiency": rep.efficiency,
                 "halo_fraction": rep.halo_fraction,
+                "plan_build_s": rep.plan_build_s,
                 "comm_model": model,
             }))
         else:
@@ -101,7 +106,7 @@ def main() -> None:
                 "all-gather {a} B/hop/chip, projected eff @{ici:.0f}GB/s "
                 "ICI: halo {eh:.0%} / all-gather {ea:.0%}".format(
                     h=model["ici_bytes_per_hop_halo"],
-                    p=model["plan_build_s"],
+                    p=round(rep.plan_build_s, 2),
                     a=model["ici_bytes_per_hop_allgather"],
                     ici=model["assumed_ici_gbps"],
                     eh=model["projected_efficiency_halo"],

@@ -73,14 +73,18 @@ _SUBGRAPH_CACHE_MAX = 8
 
 def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
     out_rows = np.asarray(out_rows)
-    key = (id(graph.rows), graph.nnz, hash(out_rows.tobytes()))
+    # vals identity must be part of the key: with_vals()/re-normalization
+    # share the same rows/cols buffers with different edge weights
+    key = (id(graph.rows), id(graph.vals), graph.nnz,
+           hash(out_rows.tobytes()))
     hit = _SUBGRAPH_CACHE.get(key)
     if hit is not None:
         return hit[-1]
     sub = graph.row_subgraph(out_rows)
     if len(_SUBGRAPH_CACHE) >= _SUBGRAPH_CACHE_MAX:
         _SUBGRAPH_CACHE.pop(next(iter(_SUBGRAPH_CACHE)))
-    _SUBGRAPH_CACHE[key] = (graph.rows, sub)   # pin source buffer id
+    # pin source buffers so their ids cannot be recycled while cached
+    _SUBGRAPH_CACHE[key] = (graph.rows, graph.vals, sub)
     return sub
 
 
@@ -107,6 +111,12 @@ def sgc_precompute(
     """
     from sgc_tpu.utils.profiling import sync
 
+    if out_rows is not None and degree == 0:
+        # S^0 X = X: the subset is a plain row gather
+        t = perf_counter()
+        out = features[jnp.asarray(np.asarray(out_rows))]
+        sync(out)
+        return out, perf_counter() - t
     if out_rows is not None and degree >= 1:
         final = _row_subgraph_cached(graph, out_rows)
         _propagate_final_subset.lower(

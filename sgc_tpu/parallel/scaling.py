@@ -80,6 +80,7 @@ class ScalingReport:
     sharded_rate: float       # edges/s, n devices
     efficiency: float         # sharded_rate / (n * single_rate)
     halo_fraction: float      # fraction of columns needing exchange
+    plan_build_s: float = 0.0  # host time to partition + build the plan
 
     def __str__(self) -> str:
         return (
@@ -87,7 +88,7 @@ class ScalingReport:
             f"{self.hops} hops | 1-dev {self.single_rate/1e6:.1f} Me/s, "
             f"{self.n_devices}-dev {self.sharded_rate/1e6:.1f} Me/s, "
             f"efficiency {self.efficiency:.2%}, halo "
-            f"{self.halo_fraction:.2%}"
+            f"{self.halo_fraction:.2%}, plan build {self.plan_build_s:.2f}s"
         )
 
 
@@ -203,8 +204,10 @@ def measure_spmm_scaling(
 
     # --- sharded ---
     mesh = make_mesh(n_devices, 1)
+    t0 = time.perf_counter()
     pgraph = partition_graph(graph, n_devices)
     halo = build_halo(pgraph)
+    plan_build_s = time.perf_counter() - t0
     xs = shard_features(mesh, pad_node_rows(x, pgraph.n_rows_padded))
 
     def sharded(xs):
@@ -229,4 +232,5 @@ def measure_spmm_scaling(
         sharded_rate=sharded_rate,
         efficiency=sharded_rate / (n_devices * single_rate),
         halo_fraction=halo_fraction(halo, pgraph),
+        plan_build_s=plan_build_s,
     )
