@@ -190,3 +190,34 @@ def test_sgc_precompute_out_rows_exact():
             np.asarray(sub), np.asarray(full)[idx], rtol=1e-5, atol=1e-6
         )
         assert t >= 0.0
+
+
+def test_sgc_precompute_out_rows_degree0_and_vals_cache():
+    """Round-2 review regressions: (a) degree=0 with out_rows returns the
+    row subset of X itself; (b) the cached subset operator must not be
+    reused across graphs that share index buffers but differ in vals
+    (with_vals)."""
+    import numpy as np
+
+    from sgc_tpu.ops.propagate import sgc_precompute
+
+    rng = np.random.default_rng(33)
+    n, e, f = 200, 1500, 8
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.random(e).astype(np.float32), n, n,
+    )
+    x = jax.numpy.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    idx = np.sort(rng.choice(n, 60, replace=False))
+
+    # (a) degree 0: S^0 X = X
+    out0, _ = sgc_precompute(x, g, 0, out_rows=idx)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(x)[idx])
+
+    # (b) same buffers, different vals -> different results
+    out1, _ = sgc_precompute(x, g, 1, out_rows=idx)
+    g2 = g.with_vals(g.vals * 2.0)
+    out2, _ = sgc_precompute(x, g2, 1, out_rows=idx)
+    np.testing.assert_allclose(
+        np.asarray(out2), 2.0 * np.asarray(out1), rtol=1e-6
+    )
