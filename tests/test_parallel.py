@@ -130,6 +130,8 @@ class TestScalingHarness:
         assert report.n_devices == 4
         assert report.single_rate > 0 and report.sharded_rate > 0
         assert 0.0 < report.halo_fraction <= 1.0
+        assert report.plan_build_s >= 0.0
+        assert "plan build" in str(report)
         assert "efficiency" in str(report)
 
     def test_init_distributed_noop_single_process(self, monkeypatch):
