@@ -61,9 +61,16 @@ def fit_sharded(
     lr: float = 0.2,
     weight_decay: float = 5e-6,
     seed: int = 42,
-    use_halo: bool = True,
+    use_halo: bool | None = True,
 ):
-    """Distributed SGC fit. Returns (host SGCParams, FitReport)."""
+    """Distributed SGC fit. Returns (host SGCParams, FitReport).
+
+    ``use_halo``: True = boundary all_to_all exchange, False = all-gather,
+    None = auto — build the plan and pick halo only when the exchange
+    volume actually undercuts the all-gather (halo fraction < 0.5;
+    random/hub graphs approach 1.0 where all-gather moves less than the
+    padded pairwise buffers, locality-partitioned graphs win big).
+    """
     from sgc_tpu.models.sgc import SGCParams
     from sgc_tpu.parallel.halo import halo_fraction
 
@@ -76,7 +83,12 @@ def fit_sharded(
     n_feat_parts = mesh.shape[FEAT_AXIS]
 
     pgraph = partition_graph(graph, n_parts)
-    halo = build_halo(pgraph) if use_halo else None
+    if use_halo is None:
+        halo = build_halo(pgraph)
+        if halo_fraction(halo, pgraph) >= 0.5:
+            halo = None
+    else:
+        halo = build_halo(pgraph) if use_halo else None
 
     x = jnp.asarray(np.asarray(features, np.float32))
     x = pad_feature_dim(x, 8 * n_feat_parts)

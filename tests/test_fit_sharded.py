@@ -66,3 +66,58 @@ def test_fit_sharded_allgather_path():
     )
     assert report.halo_fraction == 1.0
     assert report.train_accuracy > 0.8
+
+
+def test_fit_sharded_auto_halo_selection():
+    """use_halo=None picks the exchange by measured halo fraction:
+    all-gather on a random graph (fraction ~1), halo on a clustered one."""
+    import scipy.sparse as sp
+
+    from sgc_tpu.parallel.fit import fit_sharded
+    from sgc_tpu.parallel.halo import build_halo, halo_fraction
+    from sgc_tpu.parallel.partition import partition_graph
+
+    # random graph -> fraction ~1 -> auto should behave like all-gather
+    rng = np.random.default_rng(7)
+    n, e = 128, 1200
+    adj = sp.coo_matrix(
+        (np.ones(e, np.float32),
+         (rng.integers(0, n, e), rng.integers(0, n, e))), shape=(n, n))
+    from sgc_tpu.graph.normalize import aug_normalized_adjacency
+
+    g_rand = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+    pg = partition_graph(g_rand, 4)
+    assert halo_fraction(build_halo(pg), pg) >= 0.5
+
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    idx = np.arange(n // 2)
+    mesh = make_mesh(4, 1)
+    params, report = fit_sharded(
+        g_rand, x, y, idx, 3, mesh=mesh, degree=1, epochs=5,
+        use_halo=None,
+    )
+    assert report.halo_fraction == 1.0  # all-gather path reported
+
+    # clustered graph with a sparse cut -> low fraction -> halo kept
+    n2 = 512
+    blocks = np.repeat(np.arange(4), n2 // 4)
+    r_, c_ = np.triu_indices(n2, 1)
+    p = np.where(blocks[r_] == blocks[c_], 0.08, 0.002)
+    keep = rng.random(len(r_)) < p
+    adj2 = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (r_[keep], c_[keep])),
+        shape=(n2, n2))
+    g_clust = SparseGraph.from_scipy(
+        aug_normalized_adjacency(adj2 + adj2.T))
+    pg2 = partition_graph(g_clust, 4)
+    assert halo_fraction(build_halo(pg2), pg2) < 0.5
+
+    x2 = rng.standard_normal((n2, 16)).astype(np.float32)
+    x2[np.arange(n2), blocks] += 1.5
+    y2 = blocks.astype(np.int32)
+    params, report = fit_sharded(
+        g_clust, x2, y2, np.arange(n2 // 2), 4, mesh=mesh, degree=1,
+        epochs=5, use_halo=None,
+    )
+    assert report.halo_fraction < 0.5
