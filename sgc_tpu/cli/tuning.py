@@ -28,7 +28,12 @@ from sgc_tpu.tune.tpe import fmin, loguniform
 from sgc_tpu.utils.seeding import set_seed
 
 
-def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path):
+def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path,
+                  grid: int = 0):
+    """TPE search (default) or, with ``grid=N``, a vmapped grid search:
+    N log-spaced weight decays train as ONE batched program
+    (train_regression_many) — the TPU-native alternative to the
+    reference's 60 sequential trials (tuning.py:26-33)."""
     from sgc_tpu.data.planetoid import load_citation
 
     key = set_seed(seed)
@@ -40,6 +45,28 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path):
     val_y = data.labels[data.idx_val]
     nfeat, nclass = features.shape[1], data.n_classes
 
+    # reference search space: loguniform(1e-10, 1e-4)  (tuning.py:21 uses
+    # exp of uniform(log(1e-10), log(1e-4)))
+    if grid:
+        import numpy as np
+
+        from sgc_tpu.train.loops import train_regression_many
+
+        wds = np.logspace(-10, -4, grid)
+        model0 = init_sgc(key, nfeat, nclass)
+        many, _, _dt = train_regression_many(
+            model0, train_x, train_y, wds, epochs=epochs, lr=lr
+        )
+        import jax
+
+        accs = [
+            accuracy(sgc_apply(jax.tree.map(lambda a: a[i], many), val_x),
+                     val_y)
+            for i in range(grid)
+        ]
+        i_best = int(np.argmax(accs))
+        return {"weight_decay": float(wds[i_best])}, float(accs[i_best])
+
     def objective(params):
         model = init_sgc(key, nfeat, nclass)
         model, _ = train_regression(
@@ -47,8 +74,6 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path):
         )
         return -accuracy(sgc_apply(model, val_x), val_y)
 
-    # reference search space: loguniform(1e-10, 1e-4)  (tuning.py:21 uses
-    # exp of uniform(log(1e-10), log(1e-4)))
     best, loss = fmin(
         objective, {"weight_decay": loguniform(1e-10, 1e-4)},
         max_evals=max_evals, seed=seed,
@@ -103,6 +128,9 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--lr", type=float, default=0.2)
     parser.add_argument("--max_evals", type=int, default=60)
+    parser.add_argument("--grid", type=int, default=0,
+                        help="vmapped grid search over N log-spaced wds "
+                        "(one batched program) instead of sequential TPE")
     parser.add_argument("--subset", default="BCD")
     parser.add_argument("--fold", type=int, default=None,
                         help="cross-validation fold (per-fold tuning, "
@@ -115,7 +143,7 @@ def main() -> None:
         epochs = args.epochs or 100
         best, val_acc = tune_citation(
             args.dataset, args.degree, epochs, args.lr, args.max_evals,
-            args.seed, args.data_path,
+            args.seed, args.data_path, grid=args.grid,
         )
     else:
         epochs = args.epochs or 3

@@ -20,6 +20,7 @@ from time import perf_counter
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sgc_tpu.models.sgc import SGCParams, sgc_apply
@@ -95,6 +96,52 @@ def _adam_executable(params, x, y, lr, wd, epochs):
             _ADAM_EXEC_CACHE.pop(next(iter(_ADAM_EXEC_CACHE)))
         _ADAM_EXEC_CACHE[key] = hit
     return hit
+
+
+@partial(jax.jit, static_argnames=("epochs",))
+def _adam_epochs_many(params, train_x, train_y, lrs, wds, epochs):
+    # vmap over the hyperparameter axis: params stacked on axis 0,
+    # features/labels broadcast — W candidate heads train in ONE program
+    return jax.vmap(
+        _adam_epochs.__wrapped__, in_axes=(0, None, None, 0, 0, None)
+    )(params, train_x, train_y, lrs, wds, epochs)
+
+
+def train_regression_many(
+    params: SGCParams,
+    train_features: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    weight_decays,
+    epochs: int = 100,
+    lr: float = 0.2,
+):
+    """Train one head PER weight decay simultaneously (vmap over the
+    hyperparameter axis) — the TPU-native form of the reference's
+    sequential tuning trials (tuning.py:26-33 trains 60 heads one after
+    another on frozen features; here a candidate grid is a single
+    batched program and the MXU sees one big matmul).
+
+    ``params`` is a single init, replicated across candidates. Returns
+    (stacked SGCParams with leading axis W, float32[W, epochs] losses,
+    seconds).
+    """
+    wds = jnp.asarray(np.asarray(weight_decays, np.float32))
+    n = wds.shape[0]
+    lrs = jnp.full((n,), lr, jnp.float32)
+    stacked = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (n,) + l.shape), params
+    )
+    from sgc_tpu.utils.profiling import sync
+
+    _adam_epochs_many.lower(
+        stacked, train_features, train_labels, lrs, wds, epochs
+    ).compile()
+    t = perf_counter()
+    out, losses = _adam_epochs_many(
+        stacked, train_features, train_labels, lrs, wds, epochs
+    )
+    sync(out)
+    return out, losses, perf_counter() - t
 
 
 def train_regression(

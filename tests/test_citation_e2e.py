@@ -105,3 +105,39 @@ def test_sweep_cli_json_mode(monkeypatch, capsys):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(rows) == 1 and rows[0]["dataset"] == "cora"
     assert {"K", "val_acc", "test_acc", "train_s"} <= set(rows[0])
+
+
+def test_train_regression_many_matches_sequential():
+    """The vmapped candidate grid trains each head identically to the
+    sequential path (frozen-features many-heads workflow, SURVEY §3.4)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from sgc_tpu.models.sgc import init_sgc
+    from sgc_tpu.train.loops import train_regression, train_regression_many
+
+    rng = np.random.default_rng(5)
+    n, f, c = 300, 20, 4
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+    params0 = init_sgc(jax.random.PRNGKey(3), f, c)
+
+    wds = [0.0, 1e-5, 1e-3]
+    many, losses, dt = train_regression_many(
+        params0, x, y, wds, epochs=25, lr=0.2
+    )
+    assert losses.shape == (3, 25)
+    for i, wd in enumerate(wds):
+        seq, _ = train_regression(
+            params0, x, y, epochs=25, weight_decay=wd, lr=0.2
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.map(lambda a: a[i], many).w),
+            np.asarray(seq.w), rtol=2e-4, atol=2e-5,
+        )
+    # different wds genuinely produce different heads
+    w0 = np.asarray(jax.tree.map(lambda a: a[0], many).w)
+    w2 = np.asarray(jax.tree.map(lambda a: a[2], many).w)
+    assert np.abs(w0 - w2).max() > 1e-4
