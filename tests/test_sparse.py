@@ -219,3 +219,25 @@ def test_row_subgraph_equals_sliced_spmm():
 
     with pytest.raises(ValueError):
         g.row_subgraph(np.array([1, 1, 2]))
+
+
+def test_row_subgraph_bitwise_identical_reduction():
+    """bench.py's hop-2 claim is BITWISE identity, not just allclose:
+    row_subgraph preserves each row's col-sorted edge sequence, so the
+    f32 segment reduction order is unchanged."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(12)
+    n, e, f = 257, 4001, 19
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        (rng.random(e).astype(np.float32) * 7 + 0.01), n, n,
+    )
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    idx = np.sort(rng.choice(n, 100, replace=False))
+
+    full = np.asarray(spmm(g, x, impl="segment"))[idx]
+    sub = np.asarray(spmm(g.row_subgraph(idx), x, impl="segment"))
+    np.testing.assert_array_equal(sub, full)  # exact, not allclose
