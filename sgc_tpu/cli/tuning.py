@@ -48,6 +48,12 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path,
     # reference search space: loguniform(1e-10, 1e-4)  (tuning.py:21 uses
     # exp of uniform(log(1e-10), log(1e-4)))
     if grid:
+        if grid < 2:
+            raise ValueError(
+                f"--grid {grid}: need >= 2 log-spaced candidates to span "
+                "the search space (use TPE for single-point evaluation)"
+            )
+        import jax
         import numpy as np
 
         from sgc_tpu.train.loops import train_regression_many
@@ -57,13 +63,11 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path,
         many, _, _dt = train_regression_many(
             model0, train_x, train_y, wds, epochs=epochs, lr=lr
         )
-        import jax
-
-        accs = [
-            accuracy(sgc_apply(jax.tree.map(lambda a: a[i], many), val_x),
-                     val_y)
-            for i in range(grid)
-        ]
+        # score every head in ONE dispatch too (a per-head accuracy loop
+        # would pay N device->host round-trips on the tunneled TPU)
+        logits = jax.vmap(sgc_apply, in_axes=(0, None))(many, val_x)
+        preds = jax.numpy.argmax(logits, axis=-1)        # (grid, n_val)
+        accs = np.asarray((preds == val_y[None, :]).mean(axis=1))
         i_best = int(np.argmax(accs))
         return {"weight_decay": float(wds[i_best])}, float(accs[i_best])
 
@@ -146,6 +150,11 @@ def main() -> None:
             args.seed, args.data_path, grid=args.grid,
         )
     else:
+        if args.grid:
+            raise SystemExit(
+                "--grid is citation-family only (the text family's LBFGS "
+                "fit is not vmapped); use TPE (--max_evals) instead"
+            )
         epochs = args.epochs or 3
         best, val_acc = tune_text(
             args.dataset, args.degree, epochs, args.max_evals, args.seed,

@@ -66,10 +66,12 @@ def fit_sharded(
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
 
     ``use_halo``: True = boundary all_to_all exchange, False = all-gather,
-    None = auto — build the plan and pick halo only when the exchange
-    volume actually undercuts the all-gather (halo fraction < 0.5;
-    random/hub graphs approach 1.0 where all-gather moves less than the
-    padded pairwise buffers, locality-partitioned graphs win big).
+    None = auto — build the plan and pick halo when the halo fraction is
+    below 0.5. Pure volume break-even is fraction 1.0 (P*H*F exchanged
+    vs N*F gathered); the 0.5 threshold is a deliberate 2x margin for
+    the halo path's extra costs (pack gathers, P-1 peer messages,
+    max-width padding across pairs) — halo must clearly win on volume
+    before it is chosen.
     """
     from sgc_tpu.models.sgc import SGCParams
     from sgc_tpu.parallel.halo import halo_fraction
@@ -85,10 +87,12 @@ def fit_sharded(
     pgraph = partition_graph(graph, n_parts)
     if use_halo is None:
         halo = build_halo(pgraph)
-        if halo_fraction(halo, pgraph) >= 0.5:
+        frac = halo_fraction(halo, pgraph)
+        if frac >= 0.5:
             halo = None
     else:
         halo = build_halo(pgraph) if use_halo else None
+        frac = halo_fraction(halo, pgraph) if halo is not None else 1.0
 
     x = jnp.asarray(np.asarray(features, np.float32))
     x = pad_feature_dim(x, 8 * n_feat_parts)
@@ -145,8 +149,6 @@ def fit_sharded(
         train_accuracy=train_acc,
         n_devices=len(mesh.devices.ravel()),
         n_parts=n_parts,
-        halo_fraction=(
-            halo_fraction(halo, pgraph) if halo is not None else 1.0
-        ),
+        halo_fraction=frac,
     )
     return params, report
