@@ -36,12 +36,23 @@ def tune_citation(dataset, degree, epochs, lr, max_evals, seed, data_path,
     reference's 60 sequential trials (tuning.py:26-33)."""
     from sgc_tpu.data.planetoid import load_citation
 
+    import numpy as _np
+
     key = set_seed(seed)
     data = load_citation(dataset, "AugNormAdj", data_path)
-    features, _ = sgc_precompute(data.features, data.graph, degree)
-    train_x = features[data.idx_train]
+    # tuning touches only train+val rows — propagate exactly those
+    # (dead-row elimination, sgc_precompute(out_rows=...); identical
+    # values to full propagation + slicing)
+    idx_tv = _np.concatenate(
+        [_np.asarray(data.idx_train), _np.asarray(data.idx_val)]
+    )
+    features, _ = sgc_precompute(
+        data.features, data.graph, degree, out_rows=idx_tv
+    )
+    n_tr = len(data.idx_train)
+    train_x = features[:n_tr]
     train_y = data.labels[data.idx_train]
-    val_x = features[data.idx_val]
+    val_x = features[n_tr:]
     val_y = data.labels[data.idx_val]
     nfeat, nclass = features.shape[1], data.n_classes
 
