@@ -35,7 +35,11 @@ def rcm_order(adj: sp.spmatrix) -> np.ndarray:
 
 
 def bfs_order(adj: sp.spmatrix) -> np.ndarray:
-    """BFS ordering from a min-degree seed of each connected component."""
+    """BFS ordering from a min-degree seed of each connected component.
+
+    Traversal runs in scipy's C ``breadth_first_order`` per component (the
+    former per-edge Python loop took tens of seconds at 10M+ edges — the
+    exact scale this reordering targets)."""
     csr = adj.tocsr()
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
@@ -46,19 +50,12 @@ def bfs_order(adj: sp.spmatrix) -> np.ndarray:
     for seed in np.argsort(deg, kind="stable"):
         if visited[seed]:
             continue
-        queue = [int(seed)]
-        visited[seed] = True
-        while queue:
-            next_queue = []
-            for u in queue:
-                order[pos] = u
-                pos += 1
-                nbrs = csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
-                for v in nbrs:
-                    if not visited[v]:
-                        visited[v] = True
-                        next_queue.append(int(v))
-            queue = next_queue
+        nodes = sp.csgraph.breadth_first_order(
+            csr, int(seed), directed=False, return_predecessors=False
+        )
+        order[pos:pos + len(nodes)] = nodes
+        pos += len(nodes)
+        visited[nodes] = True
     return order
 
 

@@ -164,6 +164,14 @@ class SparseGraph:
         row_indices = np.asarray(row_indices, dtype=np.int64)
         if len(np.unique(row_indices)) != len(row_indices):
             raise ValueError("row_subgraph requires unique row indices")
+        if row_indices.size and (
+            row_indices.min() < 0 or row_indices.max() >= self.n_rows
+        ):
+            raise ValueError(
+                f"row indices must be in [0, {self.n_rows}); got range "
+                f"[{row_indices.min()}, {row_indices.max()}] (negative "
+                "ids would silently wrap)"
+            )
         lookup = np.full(self.n_rows, -1, dtype=np.int64)
         lookup[row_indices] = np.arange(len(row_indices))
         rows = np.asarray(self.rows)[: self.nnz]

@@ -73,10 +73,12 @@ _SUBGRAPH_CACHE_MAX = 8
 
 def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
     out_rows = np.asarray(out_rows)
-    # vals identity must be part of the key: with_vals()/re-normalization
-    # share the same rows/cols buffers with different edge weights
-    key = (id(graph.rows), id(graph.vals), graph.nnz,
-           hash(out_rows.tobytes()))
+    # vals/cols identity must be part of the key (with_vals shares index
+    # buffers with different weights); out_rows enters the key as its
+    # BYTES, not a 64-bit hash — a hash collision would silently return
+    # the wrong cached operator
+    key = (id(graph.rows), id(graph.cols), id(graph.vals), graph.nnz,
+           graph.n_rows, graph.n_cols, out_rows.tobytes())
     hit = _SUBGRAPH_CACHE.get(key)
     if hit is not None:
         return hit[-1]
@@ -84,7 +86,7 @@ def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
     if len(_SUBGRAPH_CACHE) >= _SUBGRAPH_CACHE_MAX:
         _SUBGRAPH_CACHE.pop(next(iter(_SUBGRAPH_CACHE)))
     # pin source buffers so their ids cannot be recycled while cached
-    _SUBGRAPH_CACHE[key] = (graph.rows, graph.vals, sub)
+    _SUBGRAPH_CACHE[key] = (graph.rows, graph.cols, graph.vals, sub)
     return sub
 
 
@@ -111,6 +113,15 @@ def sgc_precompute(
     """
     from sgc_tpu.utils.profiling import sync
 
+    if out_rows is not None:
+        rows_arr = np.asarray(out_rows)
+        if rows_arr.size and (
+            rows_arr.min() < 0 or rows_arr.max() >= graph.n_rows
+        ):
+            raise ValueError(
+                f"out_rows must be in [0, {graph.n_rows}); got range "
+                f"[{rows_arr.min()}, {rows_arr.max()}]"
+            )
     if out_rows is not None and degree == 0:
         # S^0 X = X: the subset is a plain row gather
         t = perf_counter()
@@ -182,9 +193,11 @@ def _dense_hops_then_transpose(s_dense: jnp.ndarray, dense: jnp.ndarray, hops: i
     return dense.T
 
 
-# Above this node count, the densified-S MXU path for structural features
-# is abandoned for the sparse path (dense S = N^2 floats in HBM).
-_DENSE_S_MAX_NODES = 50_000
+# Byte budget for the densified-S MXU path for structural features:
+# dense S = N^2 f32 in HBM AND a host toarray of the same size. 2 GiB
+# (N ~= 23K — covers the doc-word text graphs) leaves ample headroom on
+# a 16 GB v5e; the former 50K-node cap admitted ~10 GB matrices.
+_DENSE_S_MAX_BYTES = 2 << 30
 
 
 def text_structural_features(
@@ -200,7 +213,7 @@ def text_structural_features(
     train phase, zero-range dims dropped, and the same transform applied
     to val/test. The first hop is a direct column slice of S (no one-hot
     matmul); remaining hops run either as dense matmuls against a
-    densified S (MXU, graphs <= ~50K nodes — the reference densifies too,
+    densified S (MXU, dense S within a 2 GiB budget — the reference densifies too,
     train.py:105, but on host RAM) or as sparse SpMM hops
     (impl='sparse' or large graphs).
 
@@ -211,7 +224,8 @@ def text_structural_features(
     # impl='dense' forces the densified path (bypassing the HBM size
     # guard); 'auto' uses it only for graphs small enough to densify
     use_dense = impl == "dense" or (
-        impl == "auto" and graph.n_rows <= _DENSE_S_MAX_NODES
+        impl == "auto"
+        and graph.n_rows * graph.n_cols * 4 <= _DENSE_S_MAX_BYTES
     )
 
     if use_dense and degree > 1:

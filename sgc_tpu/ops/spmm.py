@@ -141,10 +141,16 @@ def sddmm(
     out[e] = <a[rows[e]], b[cols[e]]> — the building block for attention-style
     edge reweighting and the GCN backward w.r.t. adjacency values.
 
-    Padding-edge slots ([nnz, E_pad)) return exactly 0, preserving the
-    SparseGraph invariant so ``graph.with_vals(sddmm(...))`` stays valid.
+    Padding-edge slots ([nnz, E_pad)) return exactly 0 — identified by
+    POSITION, so genuine edges that currently hold weight 0 still get
+    their computed value and ``graph.with_vals(sddmm(...))`` is closed
+    under repeated reweighting.
     """
     left = jnp.take(a, graph.rows, axis=0)
     right = jnp.take(b, graph.cols, axis=0)
     vals = jnp.sum(left * right, axis=-1)
-    return jnp.where(graph.vals != 0, vals, 0.0)
+    # padding is POSITIONAL (slots >= nnz), not val==0: a genuine edge
+    # whose current weight is exactly 0 must keep its computed value so
+    # graph.with_vals(sddmm(...)) stays closed under repeated reweighting
+    pad_mask = jnp.arange(graph.n_edges_padded) < graph.nnz
+    return jnp.where(pad_mask, vals, 0.0)

@@ -272,7 +272,11 @@ def spmm_pallas_tiled(
     n_cols_pad = n_st * W
     if x.shape[0] < n_cols_pad:
         x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
+    # Ft snapped up to a 128-lane multiple: Mosaic wants minor dims in
+    # lane-width multiples on real hardware (unaligned Ft only ever ran
+    # in interpret mode)
     Ft = min(feature_tile, max(int(x.shape[1]), 128))
+    Ft = -(-Ft // 128) * 128
     f_pad = (-x.shape[1]) % Ft
     if f_pad:
         x = jnp.pad(x, ((0, 0), (0, f_pad)))
@@ -413,10 +417,10 @@ def _sddmm_kernel(
     fit VMEM (graph transformer blocks), doing gather+dot fused."""
     rows = rows_ref[:]
     cols = cols_ref[:]
-    n = a_ref.shape[0]
-    iota_a = jax.lax.broadcasted_iota(jnp.int32, (C, n), 1)
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (C, a_ref.shape[0]), 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (C, b_ref.shape[0]), 1)
     ga = (rows[:, None] == iota_a).astype(mm_dtype)
-    gb = (cols[:, None] == iota_a).astype(mm_dtype)
+    gb = (cols[:, None] == iota_b).astype(mm_dtype)
     left = jnp.dot(ga, a_ref[:].astype(mm_dtype),
                    preferred_element_type=jnp.float32)
     right = jnp.dot(gb, b_ref[:].astype(mm_dtype),
@@ -464,4 +468,7 @@ def sddmm_pallas(
         out_specs=pl.BlockSpec((C,), lambda k: (k,), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(graph.rows, graph.cols, a, b)
-    return jnp.where(graph.vals != 0, out, 0.0)
+    # positional padding mask (matches ops/spmm.py:sddmm): zero-weight
+    # TRUE edges keep their computed value
+    pad_mask = jnp.arange(e_pad) < graph.nnz
+    return jnp.where(pad_mask, out, 0.0)
