@@ -221,3 +221,31 @@ def test_sgc_precompute_out_rows_degree0_and_vals_cache():
     np.testing.assert_allclose(
         np.asarray(out2), 2.0 * np.asarray(out1), rtol=1e-6
     )
+
+
+def test_sddmm_preserves_zero_weight_true_edges():
+    """Padding is positional: a TRUE edge whose current weight is 0 still
+    gets its computed <a_row, b_col> value, so with_vals(sddmm(...)) is
+    closed under repeated reweighting (round-2 review fix)."""
+    rng = np.random.default_rng(40)
+    n, e, f = 60, 200, 8
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    vals = rng.random(e).astype(np.float32)
+    vals[:20] = 0.0   # genuine zero-weight edges
+    g = SparseGraph.from_coo(rows, cols, vals, n, n)
+    a = jax.numpy.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    b = jax.numpy.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    out = np.asarray(sddmm(g, a, b))
+    an, bn = np.asarray(a), np.asarray(b)
+    r_ = np.asarray(g.rows)[: g.nnz]
+    c_ = np.asarray(g.cols)[: g.nnz]
+    expect = (an[r_] * bn[c_]).sum(axis=1)
+    np.testing.assert_allclose(out[: g.nnz], expect, rtol=1e-5, atol=1e-6)
+    assert np.all(out[g.nnz:] == 0.0)   # padding stays exactly 0
+
+    # reweight twice: second pass must equal the first (closure)
+    g2 = g.with_vals(jax.numpy.asarray(out))
+    out2 = np.asarray(sddmm(g2, a, b))
+    np.testing.assert_array_equal(out, out2)

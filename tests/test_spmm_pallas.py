@@ -274,3 +274,24 @@ def test_pallas_bench_cli_runs(monkeypatch, capsys):
     assert out["xla_edges_per_s"] > 0
     assert out["rel_err_vs_xla"] < 1e-4
     assert out["cost_model"]["flops"] > 0
+
+
+def test_sddmm_pallas_rectangular_graph():
+    """Bipartite/rectangular pattern: a has n_rows nodes, b has n_cols —
+    the column one-hot must be built against b's count (round-2 review
+    fix; previously crashed on n_rows != n_cols)."""
+    from sgc_tpu.ops.spmm import sddmm
+    from sgc_tpu.ops.spmm_pallas import sddmm_pallas
+
+    rng = np.random.default_rng(41)
+    n_r, n_c, e, f = 48, 80, 300, 16
+    g = SparseGraph.from_coo(
+        rng.integers(0, n_r, e), rng.integers(0, n_c, e),
+        rng.random(e).astype(np.float32), n_r, n_c,
+    )
+    a = jnp.asarray(rng.standard_normal((n_r, f)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((n_c, f)).astype(np.float32))
+
+    got = np.asarray(sddmm_pallas(g, a, b, interpret=True))
+    ref = np.asarray(sddmm(g, a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
