@@ -101,10 +101,23 @@ def prepare_covid_dataset(
                 "subjects": subjects,
             })
 
-    # global subject frequencies -> single most-frequent label per paper
+    # global subject frequencies -> single most-frequent label per paper.
+    # The notebook (cell 22) walks subjects in count-DESC rank order and
+    # takes the paper's first match; exact-tie rank order inside pandas
+    # sort is version-dependent, so ties here break by first global
+    # appearance (the closest deterministic reading of value_counts).
     counts = Counter(s for r in rows for s in r["subjects"])
+    first_seen: dict = {}
     for r in rows:
-        r["label"] = max(r["subjects"], key=lambda s: (counts[s], s))
+        for s in r["subjects"]:
+            first_seen.setdefault(s, len(first_seen))
+    rank = {
+        s: i for i, s in enumerate(sorted(
+            counts, key=lambda s: (-counts[s], first_seen[s])
+        ))
+    }
+    for r in rows:
+        r["label"] = min(r["subjects"], key=lambda s: rank[s])
 
     # top-N labels by single-label count, then regroup synonyms
     single_counts = Counter(r["label"] for r in rows)
@@ -113,8 +126,10 @@ def prepare_covid_dataset(
     for r in rows:
         r["label"] = cfg.regroup.get(r["label"], r["label"])
 
-    # stable order: by label, then id — then per-class ceil(80%) train split
-    rows.sort(key=lambda r: (r["label"], r["id"]))
+    # order by LABEL ONLY with a stable sort (notebook cell 38
+    # sort_values('top_35_label'): within a class the original CSV row
+    # order survives) — then per-class ceil(80%) train split (cell 40)
+    rows.sort(key=lambda r: r["label"])
     label_counts = Counter(r["label"] for r in rows)
     seen: Counter = Counter()
     for r in rows:

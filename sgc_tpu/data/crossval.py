@@ -23,6 +23,7 @@ def make_crossval_ids(
     n_folds: int = 5,
     val_fraction: float = 0.1,
     seed: int = 42,
+    shuffle: bool = False,
 ) -> list[dict]:
     """Generate per-fold id/label pickles from a metadata file.
 
@@ -42,7 +43,13 @@ def make_crossval_ids(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+    # reference crossval_ids.py:25 uses StratifiedKFold(n_splits=5) with
+    # NO shuffle — contiguous per-class chunks per fold; shuffle=True is
+    # an opt-in deviation
+    skf = StratifiedKFold(
+        n_splits=n_folds, shuffle=shuffle,
+        random_state=seed if shuffle else None,
+    )
 
     folds = []
     for fold, (train_val, test) in enumerate(skf.split(ids, y)):

@@ -59,8 +59,11 @@ def adjacency_from_dict(graph: dict[int, list[int]], n: int) -> sp.coo_matrix:
         (np.ones(len(rows), dtype=np.float32), (rows, cols)), shape=(n, n)
     ).tocsr()
     adj.data[:] = 1.0  # collapse duplicate edges to a simple graph
-    adj.setdiag(0)     # dict-of-lists self-loops are not graph edges
-    adj.eliminate_zeros()
+    # dict-of-lists self-loops are KEPT, matching the reference's
+    # nx.from_dict_of_lists -> adjacency_matrix (utils.py:62; citeseer
+    # has 124 of them). Goldens are insensitive (0.810/0.718 either way)
+    # but per-hop parity against the reference pipeline requires the
+    # same operator.
     return adj.tocoo()
 
 
@@ -69,8 +72,9 @@ def load_citation(
     normalization: str = "AugNormAdj",
     data_path: str | None = None,
 ) -> CitationData:
+    dataset = dataset.lower()   # one normalization for every path below
     root = data_dir(data_path, marker=f"ind.{dataset}.x")
-    objs = {p: _load_pickle(root / f"ind.{dataset.lower()}.{p}") for p in PLANETOID_PARTS}
+    objs = {p: _load_pickle(root / f"ind.{dataset}.{p}") for p in PLANETOID_PARTS}
     x, y = objs["x"], objs["y"]
     tx, ty = objs["tx"], objs["ty"]
     allx, ally, graph = objs["allx"], objs["ally"], objs["graph"]

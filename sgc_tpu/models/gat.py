@@ -97,7 +97,10 @@ def gat_layer_apply(
         dst_score[graph.rows] + src_score[graph.cols], negative_slope
     )
 
-    live = graph.vals != 0
+    # padding is positional (slots >= nnz), matching ops/spmm.py:sddmm —
+    # attention depends on connectivity, so a genuine edge whose current
+    # weight happens to be 0 still participates in the softmax
+    live = jnp.arange(graph.n_edges_padded) < graph.nnz
     alpha = segment_softmax(logits, graph.rows, graph.n_rows, live)
 
     att_graph = SparseGraph(

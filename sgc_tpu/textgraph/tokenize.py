@@ -16,22 +16,34 @@ import re
 from typing import Callable
 
 
+# The reference's cleaning pass as a DATA TABLE (behavioral parity with
+# downstream/TextSGC/utils.py:93-108 — the exact rule sequence, including
+# its idiosyncrasies, defines the tokenization and therefore the vocab/
+# graph; note rules 3-13 are dead after rule 2 strips every non-
+# alphanumeric character, but they are kept because parity means applying
+# the same function, dead branches and all).
+_CLEAN_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"[?|$|.|!]"), ""),            # sentence punctuation
+    (re.compile(r"[^a-zA-Z0-9 ]"), ""),        # anything non-alphanumeric
+    (re.compile(r"\'s"), " 's"),               # clitic splits (dead: no
+    (re.compile(r"\'ve"), " 've"),             # apostrophes survive rule 2)
+    (re.compile(r"n\'t"), " n't"),
+    (re.compile(r"\'re"), " 're"),
+    (re.compile(r"\'d"), " 'd"),
+    (re.compile(r"\'ll"), " 'll"),
+    (re.compile(r","), " , "),                 # separator spacing (dead)
+    (re.compile(r"!"), " ! "),
+    (re.compile(r"\("), r" \( "),
+    (re.compile(r"\)"), r" \) "),
+    (re.compile(r"\?"), r" \? "),
+    (re.compile(r"\s{2,}"), " "),              # whitespace collapse
+]
+
+
 def clean_str(s: str) -> str:
     """Reference clean_str: punctuation strip, clitic split, lowercase."""
-    s = re.sub(r"[?|$|.|!]", r"", s)
-    s = re.sub(r"[^a-zA-Z0-9 ]", r"", s)
-    s = re.sub(r"\'s", " 's", s)
-    s = re.sub(r"\'ve", " 've", s)
-    s = re.sub(r"n\'t", " n't", s)
-    s = re.sub(r"\'re", " 're", s)
-    s = re.sub(r"\'d", " 'd", s)
-    s = re.sub(r"\'ll", " 'll", s)
-    s = re.sub(r",", " , ", s)
-    s = re.sub(r"!", " ! ", s)
-    s = re.sub(r"\(", r" \( ", s)
-    s = re.sub(r"\)", r" \) ", s)
-    s = re.sub(r"\?", r" \? ", s)
-    s = re.sub(r"\s{2,}", " ", s)
+    for pattern, repl in _CLEAN_RULES:
+        s = pattern.sub(repl, s)
     return s.strip().lower()
 
 

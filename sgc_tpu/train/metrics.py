@@ -83,24 +83,31 @@ def f1_weighted(preds, labels) -> float:
 
 
 def optimized_precision(preds, labels) -> float:
-    """OP = accuracy - |specificity - sensitivity| / (specificity + sensitivity).
+    """OP = mean_acc - |mean_spec - mean_recall| / (mean_spec + mean_recall).
 
-    Macro-averaged sensitivity (recall) and specificity from the confusion
-    matrix, as aggregated per-fold in TextSGC_ref/trainv2.py:206-232.
+    Exactly the reference's per-fold aggregation
+    (TextSGC_ref/trainv2.py:204-223): per-class one-vs-rest TP/FP/FN/TN
+    from the confusion matrix over the SORTED UNION of classes present in
+    labels or predictions (sklearn confusion_matrix's default label set),
+    then class-MEAN specificity (TNR), recall (TPR) and one-vs-rest
+    accuracy (TP+TN)/(TP+FP+FN+TN) — note mean_acc is the macro mean of
+    per-class binary accuracies, NOT overall multiclass accuracy.
     """
     preds = np.asarray(preds)
     labels = np.asarray(labels)
-    acc = float((preds == labels).mean())
-    classes = np.unique(labels)
-    sens, spec = [], []
+    classes = np.union1d(np.unique(labels), np.unique(preds))
+    total = len(labels)
+    sens, spec, accs = [], [], []
     for c in classes:
         tp = np.sum((preds == c) & (labels == c))
         fn = np.sum((preds != c) & (labels == c))
-        tn = np.sum((preds != c) & (labels != c))
         fp = np.sum((preds == c) & (labels != c))
+        tn = total - tp - fn - fp
         sens.append(tp / (tp + fn) if (tp + fn) else 0.0)
         spec.append(tn / (tn + fp) if (tn + fp) else 0.0)
+        accs.append((tp + tn) / total if total else 0.0)
     se, sp = float(np.mean(sens)), float(np.mean(spec))
+    mean_acc = float(np.mean(accs))
     if se + sp == 0:
-        return acc
-    return acc - abs(sp - se) / (sp + se)
+        return mean_acc
+    return mean_acc - abs(sp - se) / (sp + se)

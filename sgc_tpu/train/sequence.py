@@ -153,6 +153,14 @@ def train_sequence_classifier(
     return params, vocab
 
 
+@jax.jit
+def _predict_fwd(params: TransformerParams, ids_b, mask_b):
+    # module-level jit with params as an ARGUMENT: repeated
+    # predict_sequence calls (per-epoch eval_fn hooks) reuse one compiled
+    # program instead of recompiling a params-capturing closure each call
+    return jnp.argmax(transformer_apply(params, ids_b, mask_b), axis=-1)
+
+
 def predict_sequence(
     params: TransformerParams,
     docs: Sequence[Sequence[str]],
@@ -163,16 +171,14 @@ def predict_sequence(
     """Argmax class predictions, batched with static shapes."""
     ids, mask = encode_batch(docs, vocab, max_len)
 
-    @jax.jit
-    def fwd(ids_b, mask_b):
-        return jnp.argmax(transformer_apply(params, ids_b, mask_b), axis=-1)
-
     n = len(docs)
     out = np.zeros(n, np.int32)
     b = min(batch_size, max(n, 1))
     for s in range(0, n, b):
         idx = np.arange(s, min(s + b, n))
-        full = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
-        pred = np.asarray(fwd(jnp.asarray(ids[full]), jnp.asarray(mask[full])))
+        full, _ = pad_batch_indices(idx, b)
+        pred = np.asarray(_predict_fwd(
+            params, jnp.asarray(ids[full]), jnp.asarray(mask[full])
+        ))
         out[idx] = pred[: len(idx)]
     return out

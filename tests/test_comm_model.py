@@ -104,3 +104,36 @@ def test_comm_model_sizing_only_matches_full_build():
               "ici_bytes_per_hop_allgather", "projected_efficiency_halo",
               "projected_efficiency_allgather"):
         assert full[k] == light[k], (k, full[k], light[k])
+
+
+def test_optimized_precision_matches_reference_formula():
+    """OP vs an independent sklearn-confusion-matrix oracle implementing
+    the exact reference aggregation (trainv2.py:204-223): per-class
+    one-vs-rest TNR/TPR/ACC means — mean_acc is the macro mean of binary
+    accuracies, not overall accuracy (round-2 review fix)."""
+    from sklearn.metrics import confusion_matrix
+
+    from sgc_tpu.train.metrics import optimized_precision
+
+    rng = np.random.default_rng(17)
+    labels = rng.integers(0, 10, 500)
+    preds = labels.copy()
+    flip = rng.random(500) < 0.4
+    preds[flip] = rng.integers(0, 10, flip.sum())
+
+    cnf = confusion_matrix(labels, preds)
+    FP = cnf.sum(axis=0) - np.diag(cnf)
+    FN = cnf.sum(axis=1) - np.diag(cnf)
+    TP = np.diag(cnf).astype(float)
+    TN = cnf.sum() - (FP + FN + TP)
+    TNR = TN / (TN + FP)
+    TPR = TP / (TP + FN)
+    ACC = (TP + TN) / (TP + FP + FN + TN)
+    expect = ACC.mean() - abs(TNR.mean() - TPR.mean()) / (
+        TNR.mean() + TPR.mean()
+    )
+    got = optimized_precision(preds, labels)
+    assert abs(got - expect) < 1e-12, (got, expect)
+    # the macro-binary-accuracy term sits far above overall accuracy on
+    # multiclass data — the old (wrong) formula would fail this
+    assert got > (preds == labels).mean()
