@@ -25,7 +25,7 @@ from sgc_tpu.train.metrics import f1_macro, f1_weighted, optimized_precision
 
 def score_file(path: str | Path) -> dict:
     """Score one [pred; label] results file."""
-    v = np.loadtxt(path)
+    v = np.atleast_1d(np.loadtxt(path))
     if len(v) % 2:
         raise ValueError(f"{path}: odd length {len(v)} — not [pred;label]")
     n = len(v) // 2

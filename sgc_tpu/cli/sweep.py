@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sgc_tpu.data.planetoid import load_citation
-from sgc_tpu.models.sgc import init_sgc
+from sgc_tpu.models.sgc import init_sgc, sgc_apply
 from sgc_tpu.ops.spmm import spmm
 from sgc_tpu.train.loops import train_regression
 from sgc_tpu.train.metrics import accuracy
@@ -73,7 +73,7 @@ def sweep(
                 params, feats[data.idx_train], data.labels[data.idx_train],
                 epochs=epochs, weight_decay=wd, lr=lr,
             )
-            logits = jnp.asarray(feats) @ params.w + params.b
+            logits = sgc_apply(params, jnp.asarray(feats))
             rows.append({
                 "dataset": ds,
                 "K": k,

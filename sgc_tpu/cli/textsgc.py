@@ -47,7 +47,9 @@ def run(
 
     if cfg.preprocessed and not feat_cache:
         raise ValueError("--preprocessed requires --feat_cache <path>")
-    if cfg.preprocessed and Path(feat_cache).exists():
+    from sgc_tpu.utils.checkpoint import _npz_path
+
+    if cfg.preprocessed and _npz_path(Path(feat_cache)).exists():
         # npz cache written by a prior run (utils.checkpoint format —
         # the reference pickles, --preprocessed train.py:104-112)
         feat_dict = load_features(feat_cache)

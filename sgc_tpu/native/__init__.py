@@ -152,6 +152,15 @@ def sym_normalize_edges(rows, cols, vals, n_rows: int):
     rows = np.array(rows, dtype=np.int64)
     cols = np.array(cols, dtype=np.int64)
     vals = np.array(vals, dtype=np.float32)
+    # the scaling indexes the degree vector with BOTH endpoints — a col
+    # id >= n_rows would read out of bounds in the native kernel (UB)
+    # where the numpy twin raises; validate up front so the two paths
+    # stay behavioral twins
+    if len(cols) and (cols.max() >= n_rows or cols.min() < 0):
+        raise ValueError(
+            f"sym_normalize_edges requires a square operator: col ids "
+            f"must be in [0, {n_rows})"
+        )
     lib = _try_load()
     deg = np.zeros(n_rows, dtype=np.float64)
     if lib is not None:

@@ -41,6 +41,12 @@ class EngineConfig:
 
 
 def _buckets(lo: int, hi: int) -> list[int]:
+    if lo < 1 or lo > hi:
+        raise ValueError(
+            f"min_batch must satisfy 1 <= min_batch <= max_batch; got "
+            f"min_batch={lo}, max_batch={hi} (min_batch 0 would loop "
+            "forever doubling)"
+        )
     out, b = [], lo
     while b < hi:
         out.append(b)
@@ -188,6 +194,18 @@ class InferenceEngine:
         if n == 0:
             return np.zeros((0, self.params.w.shape[1]), np.float32)
         arr = np.asarray(node_ids)
+        # non-integer ids (JSON floats, strings) must be rejected, not
+        # silently truncated by the astype below — the same
+        # confidently-wrong-row hazard as out-of-range ids
+        if not np.issubdtype(arr.dtype, np.integer):
+            if np.issubdtype(arr.dtype, np.floating) and np.all(
+                arr == np.floor(arr)
+            ):
+                arr = arr.astype(np.int64)   # exact integral floats OK
+            else:
+                raise ValueError(
+                    f"node_ids must be integers; got dtype {arr.dtype}"
+                )
         n_nodes = int(self._features.shape[0])
         # XLA gather clamps out-of-range indices, which would return a
         # confidently wrong row for a client bug — reject instead

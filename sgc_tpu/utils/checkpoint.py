@@ -36,11 +36,13 @@ def _to_host(tree):
 def save_array_dict(path: str | Path, arrays: dict) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
+    # np.savez appends '.npz' itself when missing; normalize so save and
+    # load agree for suffixless cache paths (--feat_cache feats.pkl)
+    np.savez(_npz_path(path), **{k: np.asarray(v) for k, v in arrays.items()})
 
 
 def load_array_dict(path: str | Path) -> dict:
-    with np.load(Path(path)) as f:
+    with np.load(_npz_path(Path(path))) as f:
         return {k: jnp.asarray(f[k]) for k in f.files}
 
 
@@ -141,15 +143,29 @@ class PropagationCheckpointer:
         self._meta_path = self.dir / "meta.json"
 
     def _load_meta(self) -> dict:
+        # a half-written meta (crash mid-save) must read as "no
+        # checkpoint", not crash the restart that resume exists for
         if self._meta_path.exists():
-            with open(self._meta_path) as f:
-                return json.load(f)
+            try:
+                with open(self._meta_path) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                return {}
         return {}
 
     def save_hop(self, hop: int, x: jnp.ndarray) -> None:
         save_array_dict(self.dir / f"hop_{hop}.npz", {"x": x})
-        with open(self._meta_path, "w") as f:
+        # atomic meta update, then drop the superseded hop (only the last
+        # completed hop is ever restored; at Reddit scale each is ~0.5 GB)
+        import os
+
+        tmp = self._meta_path.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
             json.dump({"fingerprint": self.fingerprint, "last_hop": hop}, f)
+        os.replace(tmp, self._meta_path)
+        prev = self.dir / f"hop_{hop - 1}.npz"
+        if hop > 0 and prev.exists():
+            prev.unlink()
 
     def restore(self, x0: jnp.ndarray) -> tuple[jnp.ndarray, int]:
         """Return (features, next_hop_index); (x0, 0) when no checkpoint."""

@@ -168,3 +168,43 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         like = {"w": xs, "step": jnp.asarray(0)}
         back2 = load_sharded(tmp_path / "state", like=like)
         assert back2["w"].sharding == xs.sharding
+
+
+def test_feature_cache_suffixless_path_roundtrips(tmp_path):
+    """--feat_cache paths without .npz must hit their cache on reload
+    (np.savez appends the suffix; save/load/exists all normalize now)."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.utils.checkpoint import (
+        _npz_path,
+        load_features,
+        save_features,
+    )
+
+    cache = tmp_path / "feats.pkl"   # the suffix users actually pass
+    d = {"train": jnp.ones((4, 3)), "val": jnp.zeros((2, 3))}
+    save_features(cache, d)
+    assert _npz_path(cache).exists()
+    back = load_features(cache)
+    np.testing.assert_array_equal(np.asarray(back["train"]), np.ones((4, 3)))
+
+
+def test_propagation_checkpointer_corrupt_meta_restarts(tmp_path):
+    """A half-written meta.json (crash mid-save) restarts cleanly instead
+    of crashing the resume; superseded hop files are dropped."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.utils.checkpoint import PropagationCheckpointer
+
+    ckpt = PropagationCheckpointer(tmp_path, "fp1")
+    x0 = jnp.ones((3, 2))
+    ckpt.save_hop(0, x0)
+    ckpt.save_hop(1, x0 * 2)
+    assert not (tmp_path / "hop_0.npz").exists()   # superseded, dropped
+    x, nxt = ckpt.restore(x0)
+    assert nxt == 2
+
+    (tmp_path / "meta.json").write_text("{\"finger")   # truncated write
+    x, nxt = ckpt.restore(x0)
+    assert nxt == 0
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x0))

@@ -199,3 +199,25 @@ def test_int8_quantized_features_match_f32_predictions(trained):
     np.testing.assert_allclose(
         q8.predict_logits(ids), f32.predict_logits(ids), rtol=0.1, atol=0.2
     )
+
+
+def test_engine_rejects_non_integer_ids_and_bad_buckets():
+    """Round-2 review fixes: fractional node ids must not be silently
+    truncated; min_batch=0 must not loop forever."""
+    import pytest
+
+    from sgc_tpu.serve.engine import EngineConfig, InferenceEngine, _buckets
+
+    with pytest.raises(ValueError, match="min_batch"):
+        _buckets(0, 1024)
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((20, 4)).astype(np.float32)
+    params = init_sgc(jax.random.PRNGKey(0), 4, 3)
+    eng = InferenceEngine(params, features=jnp.asarray(feats),
+                          config=EngineConfig(min_batch=4))
+    with pytest.raises(ValueError, match="integer"):
+        eng.predict_logits([1.9])
+    # exact integral floats (JSON round-trip artifacts) are accepted
+    out = eng.predict_logits([1.0, 2.0])
+    assert out.shape == (2, 3)
