@@ -77,6 +77,23 @@ def main():
               f"halo {report.halo_fraction:.1%}, "
               f"train acc {report.train_accuracy:.3f}")
 
+    # --- 3b. precompute-once, many heads: a wd grid in ONE program -------
+    from sgc_tpu.train.loops import train_regression_many
+
+    wds = np.logspace(-8, -3, 8)
+    many, _, dt = train_regression_many(
+        init_sgc(jax.random.PRNGKey(0), feats.shape[1], 2),
+        feats[idx_train], jnp.asarray(y[idx_train]), wds,
+        epochs=60,
+    )
+    accs = [
+        accuracy(sgc_apply(jax.tree.map(lambda a, i=i: a[i], many),
+                           feats[idx_test]), y[idx_test])
+        for i in range(len(wds))
+    ]
+    print(f"wd grid (8 heads, one batched program, {dt:.2f}s): "
+          f"best test acc {max(accs):.3f}")
+
     # --- 4. serving -------------------------------------------------------
     from sgc_tpu.serve import EngineConfig, InferenceEngine
 
