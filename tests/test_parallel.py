@@ -203,3 +203,28 @@ class TestHaloTrainStep:
         np.testing.assert_allclose(
             losses["halo"], losses["allgather"], rtol=1e-4, atol=1e-5
         )
+
+
+def test_scaling_cli_json_contract(monkeypatch, capsys):
+    """cli.scaling --json rows carry the comm model + plan timing
+    (VERDICT round-1 #6 deliverable)."""
+    import json as _json
+    import sys
+
+    from sgc_tpu.cli import scaling as scaling_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "scaling", "--nodes", "2000", "--edges", "20000",
+        "--features", "16", "--repeats", "1", "--json",
+    ])
+    scaling_cli.main()
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows, "no output rows"
+    for r in rows:
+        assert r["plan_build_s"] >= 0.0
+        cm = r["comm_model"]
+        assert cm["ici_bytes_per_hop_halo"] >= 0
+        assert cm["ici_bytes_per_hop_allgather"] > 0
+        assert 0 < cm["projected_efficiency_halo"] <= 1.0
+        assert "assumed_ici_gbps" in cm
