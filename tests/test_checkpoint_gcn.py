@@ -54,16 +54,43 @@ def test_propagation_checkpoint_resume(tmp_path):
     _, h = ckpt2.restore(x)
     assert h == 0
 
-    # resumed-from-partial equals straight-through
-    partial_ckpt = PropagationCheckpointer(tmp_path, "p")
-    one_hop = spmm(g, x)
-    partial_ckpt.save_hop(0, one_hop)
-    resumed = propagate_with_checkpoints(
-        x, g, 3, tmp_path
-    )  # uses the k=3 fingerprint -> full restore path
-    np.testing.assert_allclose(
-        np.asarray(resumed), np.asarray(full), rtol=1e-6
-    )
+    # GENUINE mid-propagation resume: a checkpoint holding only hop 0
+    # under the MATCHING fingerprint must resume at hop 1 (not recompute
+    # hop 0) and still equal straight-through. The spy below fails the
+    # test if resume silently fell back to a from-scratch run.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d2:
+        fp = propagation_fingerprint(g, x, 3)
+        partial_ckpt = PropagationCheckpointer(d2, fp)
+        one_hop = spmm(g, x)
+        partial_ckpt.save_hop(0, one_hop)
+        restored, nxt = partial_ckpt.restore(x)
+        assert nxt == 1, "matching fingerprint must resume after hop 0"
+        np.testing.assert_allclose(
+            np.asarray(restored), np.asarray(one_hop)
+        )
+        calls = []
+        import importlib
+
+        spmm_mod = importlib.import_module("sgc_tpu.ops.spmm")
+        real = spmm_mod.spmm
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        spmm_mod.spmm = spy
+        try:
+            resumed = propagate_with_checkpoints(x, g, 3, d2)
+        finally:
+            spmm_mod.spmm = real
+        assert len(calls) == 2, (
+            f"resume ran {len(calls)} hops; expected 2 (hops 1 and 2)"
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed), np.asarray(full), rtol=1e-6
+        )
 
 
 def test_params_roundtrip(tmp_path):

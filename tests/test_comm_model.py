@@ -25,9 +25,10 @@ def test_comm_model_keys_and_consistency():
     assert 0 < m["projected_efficiency_halo"] <= 1.0
     assert 0 < m["projected_efficiency_allgather"] <= 1.0
     assert m["plan_build_s"] >= 0.0
-    # the halo exchange never moves more than the all-gather
+    # the halo exchange never moves more than the all-gather: per-pair
+    # width H <= rows_per_part, so (P-1)*H*F <= (n_pad - n_pad/P)*F
     assert (m["ici_bytes_per_hop_halo"]
-            <= m["ici_bytes_per_hop_allgather"] * 4)
+            <= m["ici_bytes_per_hop_allgather"])
 
 
 def test_comm_model_block_diagonal_cheap():

@@ -201,6 +201,6 @@ def test_w2v_finetune_moves_seeded_less_than_fresh():
         (seeded_moves if w in pre else fresh_moves).append(d)
     # training moved everything a nonzero amount...
     assert np.mean(seeded_moves) > 0
-    # ...but the seeded vectors started from structure, not noise, so the
-    # seeded start is preserved: seeded words stay closer to their init
-    assert np.mean(seeded_moves) <= np.mean(fresh_moves) * 1.5
+    # ...but the seeded vectors started from structure, not noise, so
+    # they end STRICTLY closer to their start than fresh ones on average
+    assert np.mean(seeded_moves) < np.mean(fresh_moves)

@@ -59,9 +59,7 @@ def test_validate_exchange_fault_localized():
 def test_assert_deterministic_passes_on_spmm():
     from sgc_tpu.ops.spmm import spmm
 
-    mesh, pgraph, halo, x = _setup(seed=2)
     rng = np.random.default_rng(3)
-    g, _ = None, None
     n, e = 64, 400
     adj = sp.coo_matrix(
         (np.ones(e, np.float32),

@@ -34,7 +34,8 @@ def _edges(e=5000, n=512, seed=0, dups=True):
 @requires_native
 def test_sort_edges_matches_lexsort():
     rows, cols, vals, n = _edges()
-    # native functions mutate their inputs in place: pass copies
+    # (.copy() is belt-and-braces only: sort_edges documents that it
+    # never mutates its inputs — it takes private copies internally)
     r, c, v = native.sort_edges(rows.copy(), cols.copy(), vals.copy(), n, n)
     order = np.lexsort((cols, rows))
     np.testing.assert_array_equal(r, rows[order])
@@ -131,13 +132,21 @@ def test_numpy_fallback_paths(monkeypatch):
     try:
         monkeypatch.setattr(nat, "_try_load", lambda: None)
         r, c, v = nat.sort_edges(rows, cols, vals, n, n)
-        order = np.lexsort((cols, rows))
-        np.testing.assert_array_equal(r, rows[order])
+        # value-check the whole fallback chain against the INDEPENDENT
+        # scipy canonicalization (sort + coalesce in one oracle)
         ptr = nat.row_ptr_from_sorted(r, n)
         rr, cc, vv = nat.coalesce(r, c, v)
-        m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
-        m.sum_duplicates()
-        assert len(rr) == m.nnz
+        oracle = sp.coo_matrix(
+            (vals, (rows, cols)), shape=(n, n)
+        ).tocsr().tocoo()
+        np.testing.assert_array_equal(rr, oracle.row)
+        np.testing.assert_array_equal(cc, oracle.col)
+        np.testing.assert_allclose(vv, oracle.data, rtol=1e-6)
+        # row_ptr of the SORTED (pre-coalesce) list: counts per row match
+        # the oracle's occupancy including duplicates
+        np.testing.assert_array_equal(
+            np.diff(ptr), np.bincount(rows, minlength=n)
+        )
         np.testing.assert_array_equal(ptr[-1], len(r))
     finally:
         nat._lib = lib

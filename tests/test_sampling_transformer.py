@@ -70,9 +70,12 @@ class TestSampling:
             acc / trials, np.asarray(exact), atol=0.15, rtol=0.2
         )
 
-    def test_full_fanout_on_regular_graph_is_exact(self):
-        """A ring where every node has degree d and fanout covers sampling
-        with replacement: expectation equals exact; single draw close."""
+    def test_large_fanout_two_hop_low_variance(self):
+        """Two-hop estimate with fanout >> mean degree on a random graph:
+        a single draw lands within a coarse variance bound of exact.
+        (Sampling is WITH replacement, so no finite fanout is per-draw
+        exact — per-draw unbiasedness is covered by the expectation test
+        above.)"""
         graph, norm = _random_graph(n=16, e=64, seed=3)
         x = jnp.asarray(
             np.random.default_rng(4).standard_normal((16, 4), dtype=np.float32)

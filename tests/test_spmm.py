@@ -90,15 +90,22 @@ def test_sddmm_matches_dense():
     rows = np.asarray(g.rows)[: g.nnz]
     cols = np.asarray(g.cols)[: g.nnz]
     np.testing.assert_allclose(out[: g.nnz], full[rows, cols], rtol=1e-4, atol=1e-5)
-    # padded entries still computed but correspond to (last_row, last_col)
+    # padding slots ([nnz, E_pad)) are exactly 0 (positional mask)
     assert out.shape[0] == g.n_edges_padded
+    assert np.all(out[g.nnz:] == 0.0)
 
 
 def test_spmm_deterministic():
+    """Bitwise agreement across runs AND across the two XLA
+    implementations (different programs, same fixed edge order) — the
+    self-compare alone cannot catch reduction-order drift, since one
+    cached executable trivially repeats itself."""
     g, _, x = random_problem(seed=7)
-    a = np.asarray(spmm(g, x))
-    b = np.asarray(spmm(g, x))
+    a = np.asarray(spmm(g, x, impl="segment"))
+    b = np.asarray(spmm(g, x, impl="segment"))
     np.testing.assert_array_equal(a, b)
+    c = np.asarray(spmm_chunked(g, x))
+    np.testing.assert_array_equal(a, c)
 
 
 class TestPropagationVariants:
