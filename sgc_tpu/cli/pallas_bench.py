@@ -69,6 +69,9 @@ def main() -> None:
     p.add_argument("--precision", default="f32", choices=("f32", "bf16"))
     p.add_argument("--interpret", action="store_true",
                    help="force interpreter mode even on TPU")
+    p.add_argument("--flat", action="store_true",
+                   help="generation-2 flat-schedule kernel (scalar-prefetch "
+                   "index maps + output revisiting) instead of manual-DMA")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--json", action="store_true")
     a = p.parse_args()
@@ -80,6 +83,7 @@ def main() -> None:
     from sgc_tpu.ops.spmm import spmm_segment
     from sgc_tpu.ops.spmm_pallas import (
         _default_interpret,
+        spmm_pallas_flat,
         spmm_pallas_tiled,
         tile_graph,
     )
@@ -114,7 +118,9 @@ def main() -> None:
 
     interpret = a.interpret or _default_interpret()
     out["pallas_mode"] = "interpret" if interpret else "compiled"
-    fn = jax.jit(lambda xx: spmm_pallas_tiled(
+    out["pallas_kernel"] = "flat" if a.flat else "manual-dma"
+    kernel_fn = spmm_pallas_flat if a.flat else spmm_pallas_tiled
+    fn = jax.jit(lambda xx: kernel_fn(
         tiled, xx, a.feature_tile, interpret=interpret,
         precision=a.precision))
     try:

@@ -337,6 +337,156 @@ def spmm_pallas_tiled(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Flat-schedule kernel (generation 2): scalar-prefetch index maps +
+# output revisiting — NO manual DMA, NO semaphores
+# ---------------------------------------------------------------------------
+
+
+def _flat_schedule(tiled: TiledGraph):
+    """Per-chunk (row_block, stripe) ids in the cells' chunk order.
+
+    tile_graph lays chunks out cell-major (cells sorted by
+    rb * n_st + st), so chunk_rb is NON-DECREASING — the property that
+    lets the output block revisit (accumulate in VMEM, flush once per
+    row block) instead of round-tripping HBM per chunk.
+    """
+    n_st = tiled.n_stripes
+    cell_ids = np.repeat(
+        np.arange(tiled.n_row_blocks * n_st),
+        tiled.cell_nchunks.reshape(-1),
+    )
+    chunk_rb = (cell_ids // n_st).astype(np.int32)
+    chunk_st = (cell_ids % n_st).astype(np.int32)
+    return chunk_rb, chunk_st
+
+
+def _spmm_flat_kernel(
+    rb_ref,            # int32[n_chunks] (SMEM, prefetched)
+    st_ref,            # int32[n_chunks] (SMEM, prefetched)
+    rows_ref,          # int32[C]   (VMEM block of chunk k)
+    cols_ref,          # int32[C]
+    vals_ref,          # f32[C]
+    xs_ref,            # f32[W, Ft] (VMEM block: stripe st[k], f-tile f)
+    out_ref,           # f32[R, Ft] (VMEM block: row block rb[k], f-tile f)
+    *, R: int, W: int, C: int, mm_dtype,
+):
+    k = pl.program_id(1)
+
+    # first chunk of a row block (within this f-tile pass) initializes
+    # the accumulator; the pipeline flushes it when rb[k] changes
+    @pl.when((k == 0) | (rb_ref[k] != rb_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    local_c = cols_ref[...] - st_ref[k] * W
+    local_r = rows_ref[...] - rb_ref[k] * R
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    g = (local_c[:, None] == iota_w).astype(mm_dtype)
+    gathered = jnp.dot(g, xs_ref[...].astype(mm_dtype),
+                       preferred_element_type=jnp.float32)
+    weighted = gathered * vals_ref[...][:, None]
+    s = (iota_r == local_r[None, :]).astype(mm_dtype)
+    out_ref[...] += jnp.dot(s, weighted.astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
+
+
+def spmm_pallas_flat(
+    tiled: TiledGraph,
+    x: jnp.ndarray,
+    feature_tile: int = DEFAULT_FEATURE_TILE,
+    interpret: bool = False,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """Generation-2 SpMM kernel: flat chunk schedule, automatic pipelining.
+
+    Same cell tiling and one-hot MXU math as :func:`spmm_pallas_tiled`,
+    restructured so ALL data movement is Pallas's automatic block
+    pipeline driven by scalar-prefetch index maps:
+
+    * grid = (n_ft, n_chunks); chunk k's edge slice arrives as an
+      affine-indexed VMEM block, its x-stripe via index map
+      ``(st[k], f)``, and its output block via ``(rb[k], f)``;
+    * chunks are cell-major so ``rb[k]`` is non-decreasing — consecutive
+      chunks REVISIT the same output block, which therefore stays
+      resident in VMEM and accumulates (the classic reduction-grid
+      pattern), flushing once per (row block, f-tile);
+    * empty cells contribute no chunks at all (the manual-DMA kernel
+      still streams their stripes), and there are no semaphores or
+      double-buffer slots to manage — the pipeline overlaps the loads.
+
+    This is the PREFERRED form on a healthy backend. On this round's
+    tunneled terminal every scalar->address construct (including the
+    scalar-prefetch index maps used here) fails remote compilation
+    (CLAUDE.md), so like the gen-1 kernel it ships interpret-validated;
+    `cli/pallas_bench.py --flat` compares both the moment hardware
+    allows.
+    """
+    R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
+    n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
+
+    n_cols_pad = n_st * W
+    if x.shape[0] < n_cols_pad:
+        x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
+    Ft = min(feature_tile, max(int(x.shape[1]), 128))
+    Ft = -(-Ft // 128) * 128
+    f_pad = (-x.shape[1]) % Ft
+    if f_pad:
+        x = jnp.pad(x, ((0, 0), (0, f_pad)))
+    n_ft = x.shape[1] // Ft
+
+    chunk_rb, chunk_st = _flat_schedule(tiled)
+    n_chunks = len(chunk_rb)
+    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ft, n_chunks),
+        in_specs=[
+            pl.BlockSpec((C,), lambda f, k, rb, st: (k,)),
+            pl.BlockSpec((C,), lambda f, k, rb, st: (k,)),
+            pl.BlockSpec((C,), lambda f, k, rb, st: (k,)),
+            pl.BlockSpec((W, Ft), lambda f, k, rb, st: (st[k], f)),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, Ft), lambda f, k, rb, st: (rb[k], f),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    edge_flops = 2 * (W + R) * Ft * n_chunks * C * n_ft
+    out = pl.pallas_call(
+        partial(_spmm_flat_kernel, R=R, W=W, C=C, mm_dtype=mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_rb * R, x.shape[1]), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=edge_flops,
+            bytes_accessed=(
+                n_chunks * (C * 12 + W * Ft * 4) * n_ft
+                + n_rb * R * x.shape[1] * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(chunk_rb),
+        jnp.asarray(chunk_st),
+        jnp.asarray(tiled.rows),
+        jnp.asarray(tiled.cols),
+        jnp.asarray(tiled.vals),
+        x,
+    )
+    # Row blocks with NO chunks (isolated-node ranges, padding blocks)
+    # are never visited by the grid, so their output slots hold whatever
+    # the buffer contained — zero them with a statically-known mask.
+    visited = np.zeros(n_rb, bool)
+    visited[np.unique(chunk_rb)] = True
+    if not visited.all():
+        mask = jnp.asarray(np.repeat(visited, R))
+        out = jnp.where(mask[:, None], out, 0.0)
+    return out
+
+
 def _default_interpret() -> bool:
     """Interpreter mode off-TPU, and on TPU when SGC_TPU_PALLAS_INTERPRET=1
     (tunneled dev backends hang in Mosaic compilation — see CLAUDE.md)."""

@@ -295,3 +295,96 @@ def test_sddmm_pallas_rectangular_graph():
     got = np.asarray(sddmm_pallas(g, a, b, interpret=True))
     ref = np.asarray(sddmm(g, a, b))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFlatKernel:
+    """Generation-2 flat-schedule kernel (scalar-prefetch index maps +
+    output revisiting) vs the XLA segment oracle, interpret mode."""
+
+    def _check(self, n, e, f, R, W, C, seed=0, n_cols=None):
+        from sgc_tpu.ops.spmm_pallas import spmm_pallas_flat, tile_graph
+
+        rng = np.random.default_rng(seed)
+        n_cols = n_cols or n
+        g = SparseGraph.from_coo(
+            rng.integers(0, n, e), rng.integers(0, n_cols, e),
+            rng.random(e).astype(np.float32), n, n_cols,
+        )
+        x = jnp.asarray(rng.standard_normal((n_cols, f)).astype(np.float32))
+        tiled = tile_graph(g, row_block=R, stripe=W, chunk=C)
+        out = np.asarray(spmm_pallas_flat(tiled, x, interpret=True))
+        ref = np.asarray(g.to_scipy() @ np.asarray(x))
+        np.testing.assert_allclose(
+            out[:n, :f], ref, rtol=1e-4, atol=1e-4
+        )
+        # padded output rows are exactly zero
+        assert np.all(out[n:] == 0.0) or out.shape[0] == n
+
+    def test_square_multi_cell(self):
+        self._check(n=700, e=5000, f=70, R=256, W=256, C=64)
+
+    def test_multiple_feature_tiles(self):
+        self._check(n=300, e=2500, f=300, R=128, W=128, C=64)
+
+    def test_rectangular(self):
+        self._check(n=200, e=1800, f=40, R=128, W=128, C=64, n_cols=500)
+
+    def test_empty_row_blocks_zeroed(self):
+        # all edges land in the FIRST row block; later blocks are never
+        # visited by the grid and must come back exactly zero
+        from sgc_tpu.ops.spmm_pallas import spmm_pallas_flat, tile_graph
+
+        rng = np.random.default_rng(5)
+        n, e = 600, 900
+        g = SparseGraph.from_coo(
+            rng.integers(0, 100, e), rng.integers(0, n, e),
+            rng.random(e).astype(np.float32), n, n,
+        )
+        x = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+        tiled = tile_graph(g, row_block=128, stripe=256, chunk=64)
+        out = np.asarray(spmm_pallas_flat(tiled, x, interpret=True))
+        ref = np.asarray(g.to_scipy() @ np.asarray(x))
+        np.testing.assert_allclose(out[:n, :32], ref, rtol=1e-4, atol=1e-4)
+        # blocks beyond the first are never visited -> exactly zero
+        assert np.all(out[128:, :] == 0.0)
+        assert np.all(ref[128:] == 0.0)
+
+    def test_bf16_precision_close(self):
+        from sgc_tpu.ops.spmm_pallas import spmm_pallas_flat, tile_graph
+
+        rng = np.random.default_rng(6)
+        n, e, f = 400, 3000, 64
+        g = SparseGraph.from_coo(
+            rng.integers(0, n, e), rng.integers(0, n, e),
+            rng.random(e).astype(np.float32), n, n,
+        )
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        tiled = tile_graph(g, row_block=128, stripe=128, chunk=64)
+        out = np.asarray(
+            spmm_pallas_flat(tiled, x, interpret=True, precision="bf16")
+        )
+        ref = np.asarray(g.to_scipy() @ np.asarray(x))
+        err = np.abs(out[:n, :f] - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 0.02, err
+
+    def test_flat_matches_gen1_kernel(self):
+        """Both kernels over the SAME tiling agree to f32 rounding."""
+        from sgc_tpu.ops.spmm_pallas import (
+            spmm_pallas_flat,
+            spmm_pallas_tiled,
+            tile_graph,
+        )
+
+        rng = np.random.default_rng(7)
+        n, e, f = 500, 4000, 80
+        g = SparseGraph.from_coo(
+            rng.integers(0, n, e), rng.integers(0, n, e),
+            rng.random(e).astype(np.float32), n, n,
+        )
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        tiled = tile_graph(g, row_block=256, stripe=256, chunk=64)
+        a = np.asarray(spmm_pallas_flat(tiled, x, interpret=True))
+        b = np.asarray(spmm_pallas_tiled(tiled, x, interpret=True))
+        np.testing.assert_allclose(
+            a[:n, :f], b[:n, :f], rtol=1e-5, atol=1e-5
+        )
