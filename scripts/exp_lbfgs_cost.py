@@ -43,21 +43,26 @@ def main():
 
     import optax
 
-    def flat_loss(flat):
-        p = unravel(flat)
-        logits = x @ p.w + p.b
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y).mean()
-
+    # x/y must be jit ARGUMENTS: closing over them bakes a 367 MB constant
+    # into the HLO, which the tunnel's remote-compile endpoint rejects
+    # (HTTP 413 length limit).
     for m in (1, 5, 40):
-        fn = jax.jit(lambda f0, m=m: lbfgs_minimize(
-            flat_loss, f0, max_iter=40, lr=1.0, history_size=m)[0])
-        out = fn(flat0)
+        def run(f0, xx, yy, m=m):
+            def flat_loss(flat):
+                p = unravel(flat)
+                logits = xx @ p.w + p.b
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yy).mean()
+            return lbfgs_minimize(
+                flat_loss, f0, max_iter=40, lr=1.0, history_size=m)[0]
+
+        fn = jax.jit(run)
+        out = fn(flat0, x, y)
         sync(out)
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            out = fn(flat0)
+            out = fn(flat0, x, y)
             sync(out)
             ts.append(time.perf_counter() - t0)
         print(f"m={m:3d}: {min(ts)*1e3:7.1f} ms for 40 iters "
