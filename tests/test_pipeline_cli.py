@@ -150,6 +150,54 @@ def test_export_sentences(tmp_path):
     assert "" in lines  # doc separator blank line
 
 
+def test_clean_corpus_cli_assemble_clean_sentences(tmp_path, monkeypatch,
+                                                   capsys):
+    """clean_corpus CLI: metadata assembly -> cleaning -> sentence export.
+
+    One command covering the reference's build_corpus.py + remove_words.py
+    + prepare_bert.py handoff; expectations computed by hand.
+    """
+    from sgc_tpu.cli.clean_corpus import main
+
+    docs_dir = tmp_path / "raw"
+    docs_dir.mkdir()
+    # "enzyme" appears 3x corpus-wide, "membrane" once; "the" is an NLTK
+    # stopword. Newlines inside a doc must flatten to spaces.
+    (docs_dir / "d0.txt").write_text(
+        "The enzyme binds.\nThe enzyme folds fast today.")
+    (docs_dir / "d1.txt").write_text("Enzyme and membrane interact here.")
+    meta = tmp_path / "meta.txt"
+    meta.write_text("d0\ttrain\tsci\nd1\ttest\tsci")
+
+    corpus = tmp_path / "corpus.txt"
+    sents = tmp_path / "sents.txt"
+    monkeypatch.setattr(sys, "argv", [
+        "clean_corpus", "--corpus", str(corpus),
+        "--metadata", str(meta), "--doc_root", str(docs_dir),
+        "--stopwords", "nltk", "--min_freq", "1",
+        "--sentences", str(sents),
+    ])
+    main()
+
+    assembled = corpus.read_text().split("\n")
+    assert assembled == [
+        "The enzyme binds. The enzyme folds fast today.",
+        "Enzyme and membrane interact here.",
+    ]
+    cleaned = (tmp_path / "corpus.clean.txt").read_text().split("\n")
+    assert len(cleaned) == 2
+    joined = " ".join(cleaned).split()
+    assert joined.count("enzyme") == 3          # freq 3 > min_freq 1: kept
+    assert "membrane" not in joined             # freq 1: cut
+    assert "the" not in joined                  # stopword
+    # sentence export reads the assembled (pre-clean) corpus
+    sent_lines = sents.read_text().split("\n")
+    assert "The enzyme binds." in sent_lines
+    out = capsys.readouterr().out
+    assert "assembled 2 docs" in out
+    assert "cleaned 2 docs" in out
+
+
 def test_scalar_writer(tmp_path):
     import json as _json
 
