@@ -65,9 +65,9 @@ def main() -> None:
                                  doc_root=args.doc_root)
         print(f"assembled {len(docs)} docs -> {args.corpus}")
 
-    from pathlib import Path
+    from sgc_tpu.textgraph.clean import default_clean_path
 
-    out = args.out or Path(args.corpus).with_suffix("").as_posix() + ".clean.txt"
+    out = args.out or default_clean_path(args.corpus)
     cleaned = clean_corpus(
         args.corpus,
         out_path=out,

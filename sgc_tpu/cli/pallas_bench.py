@@ -24,29 +24,40 @@ import time
 import numpy as np
 
 
-def pallas_cost_model(tiled, feature_dim: int, feature_tile: int = 256) -> dict:
-    """FLOPs/bytes the cell-tiled kernel performs, from the tiling alone.
+def pallas_cost_model(tiled, feature_dim: int, feature_tile: int = 256,
+                      flat: bool = False) -> dict:
+    """FLOPs/bytes the requested kernel generation performs, from the
+    tiling alone.
 
     Per edge chunk per feature tile: gather one-hot (C, W) @ (W, Ft) and
-    scatter one-hot (R, C) @ (C, Ft) — 2*C*(W+R)*Ft flops. HBM: the x
-    stripe stream is re-read once per row block; edges re-read once per
-    feature tile; output written once. Mirrors the Ft/f_pad selection of
-    spmm_pallas_tiled; the audit test pins the two against each other.
+    scatter one-hot (R, C) @ (C, Ft) — 2*C*(W+R)*Ft flops (identical for
+    both generations). HBM differs by schedule: the manual-DMA kernel
+    streams EVERY x stripe once per row block, while the flat kernel
+    fetches one stripe block per chunk (empty cells cost nothing).
+    Mirrors the Ft/f_pad selection of ``_pad_for_kernel``; the audit
+    test pins model vs declared CostEstimate for both generations.
     """
     R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
     n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
     ft = min(feature_tile, max(feature_dim, 128))
+    ft = -(-ft // 128) * 128             # 128-lane snap (= _pad_for_kernel)
     f_pad = feature_dim + ((-feature_dim) % ft)
     n_ft = f_pad // ft
     e_padded = int(tiled.rows.shape[0])
     n_chunks = e_padded // C
     flops = 2 * C * (W + R) * ft * n_chunks * n_ft
+    if flat:
+        n_nonempty = int(np.count_nonzero(tiled.cell_nchunks))
+        x_bytes = n_nonempty * W * ft * 4 * n_ft  # stripe / nonempty cell
+    else:
+        x_bytes = n_st * W * f_pad * 4 * n_rb     # all stripes / row block
     bytes_accessed = (
-        n_st * W * f_pad * 4 * n_rb      # x stripes per row block
+        x_bytes
         + e_padded * 12 * n_ft           # rows+cols int32 + vals f32
         + n_rb * R * f_pad * 4           # output
     )
     return {
+        "kernel": "flat" if flat else "manual-dma",
         "edges_padded": e_padded,
         "padding_factor": e_padded / max(1, int(
             np.count_nonzero(tiled.vals))),
@@ -114,7 +125,7 @@ def main() -> None:
 
     tiled = tile_graph(graph, a.row_block, a.stripe, a.chunk)
     out["cost_model"] = pallas_cost_model(
-        tiled, f, feature_tile=a.feature_tile)
+        tiled, f, feature_tile=a.feature_tile, flat=a.flat)
 
     interpret = a.interpret or _default_interpret()
     out["pallas_mode"] = "interpret" if interpret else "compiled"

@@ -257,6 +257,29 @@ def _spmm_kernel(
     out_ref[:] = acc_ref[:]
 
 
+def _pad_for_kernel(tiled: TiledGraph, x: jnp.ndarray, feature_tile: int,
+                    precision: str):
+    """Shared kernel prologue: pad x to the tiling, pick the f-tile.
+
+    Columns pad to n_stripes*W; Ft is snapped up to a 128-lane multiple
+    (Mosaic wants minor dims in lane-width multiples on real hardware —
+    unaligned Ft only ever ran in interpret mode). Both kernel
+    generations and the CLI cost model must agree on this selection, so
+    it lives in exactly one place. Returns (x, Ft, n_ft, mm_dtype).
+    """
+    n_cols_pad = tiled.n_stripes * tiled.stripe
+    if x.shape[0] < n_cols_pad:
+        x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
+    Ft = min(feature_tile, max(int(x.shape[1]), 128))
+    Ft = -(-Ft // 128) * 128
+    f_pad = (-x.shape[1]) % Ft
+    if f_pad:
+        x = jnp.pad(x, ((0, 0), (0, f_pad)))
+    n_ft = x.shape[1] // Ft
+    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
+    return x, Ft, n_ft, mm_dtype
+
+
 def spmm_pallas_tiled(
     tiled: TiledGraph,
     x: jnp.ndarray,
@@ -269,18 +292,12 @@ def spmm_pallas_tiled(
     R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
     n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
 
-    n_cols_pad = n_st * W
-    if x.shape[0] < n_cols_pad:
-        x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
-    # Ft snapped up to a 128-lane multiple: Mosaic wants minor dims in
-    # lane-width multiples on real hardware (unaligned Ft only ever ran
-    # in interpret mode)
-    Ft = min(feature_tile, max(int(x.shape[1]), 128))
-    Ft = -(-Ft // 128) * 128
-    f_pad = (-x.shape[1]) % Ft
-    if f_pad:
-        x = jnp.pad(x, ((0, 0), (0, f_pad)))
-    n_ft = x.shape[1] // Ft
+    x, Ft, n_ft, mm_dtype = _pad_for_kernel(tiled, x, feature_tile,
+                                            precision)
+    if tiled.rows.shape[0] == 0:
+        # zero-edge graph: the kernel's per-cell DMA loops slice empty
+        # edge arrays (rejected even in interpret mode); product is zero
+        return jnp.zeros((n_rb * R, x.shape[1]), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -304,7 +321,6 @@ def spmm_pallas_tiled(
         ],
     )
 
-    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
     kernel = partial(
         _spmm_kernel, R=R, W=W, C=C, Ft=Ft, n_st=n_st, mm_dtype=mm_dtype,
     )
@@ -426,19 +442,16 @@ def spmm_pallas_flat(
     R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
     n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
 
-    n_cols_pad = n_st * W
-    if x.shape[0] < n_cols_pad:
-        x = jnp.pad(x, ((0, n_cols_pad - x.shape[0]), (0, 0)))
-    Ft = min(feature_tile, max(int(x.shape[1]), 128))
-    Ft = -(-Ft // 128) * 128
-    f_pad = (-x.shape[1]) % Ft
-    if f_pad:
-        x = jnp.pad(x, ((0, 0), (0, f_pad)))
-    n_ft = x.shape[1] // Ft
+    x, Ft, n_ft, mm_dtype = _pad_for_kernel(tiled, x, feature_tile,
+                                            precision)
 
     chunk_rb, chunk_st = _flat_schedule(tiled)
     n_chunks = len(chunk_rb)
-    mm_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[precision]
+    if n_chunks == 0:
+        # a zero-edge graph has no chunks; a (n_ft, 0) grid with empty
+        # scalar-prefetch arrays is rejected by pallas_call, and the
+        # product is identically zero anyway (gen-1 kernel parity)
+        return jnp.zeros((n_rb * R, x.shape[1]), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -455,6 +468,12 @@ def spmm_pallas_flat(
         ),
     )
     edge_flops = 2 * (W + R) * Ft * n_chunks * C * n_ft
+    # x traffic: the pipeline skips re-fetching a block whose index map
+    # is unchanged between consecutive grid steps, and chunks are
+    # cell-major — so each NONEMPTY cell fetches its (W, Ft) stripe
+    # block once per f-tile (empty cells fetch nothing at all); edge
+    # blocks change every step and stream once per chunk per f-tile
+    n_nonempty = int(np.count_nonzero(tiled.cell_nchunks))
     out = pl.pallas_call(
         partial(_spmm_flat_kernel, R=R, W=W, C=C, mm_dtype=mm_dtype),
         out_shape=jax.ShapeDtypeStruct((n_rb * R, x.shape[1]), jnp.float32),
@@ -462,7 +481,7 @@ def spmm_pallas_flat(
         cost_estimate=pl.CostEstimate(
             flops=edge_flops,
             bytes_accessed=(
-                n_chunks * (C * 12 + W * Ft * 4) * n_ft
+                (n_chunks * C * 12 + n_nonempty * W * Ft * 4) * n_ft
                 + n_rb * R * x.shape[1] * 4
             ),
             transcendentals=0,

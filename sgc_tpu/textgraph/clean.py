@@ -49,6 +49,12 @@ def clean_docs(
     return cleaned
 
 
+def default_clean_path(corpus_path: str | Path) -> str:
+    """The `<corpus>.clean.txt` path clean_corpus writes when out_path is
+    omitted — single source of truth for callers (CLI) that print it."""
+    return Path(corpus_path).with_suffix("").as_posix() + ".clean.txt"
+
+
 def clean_corpus(
     corpus_path: str | Path,
     out_path: str | Path | None = None,
@@ -60,7 +66,7 @@ def clean_corpus(
         docs = [line.strip() for line in f]
     cleaned = clean_docs(docs, **kwargs)
     if out_path is None:
-        out_path = corpus_path.with_suffix("").as_posix() + ".clean.txt"
+        out_path = default_clean_path(corpus_path)
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("\n".join(cleaned))
     return cleaned

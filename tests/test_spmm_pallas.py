@@ -247,14 +247,55 @@ def test_cost_estimate_audit_matches_independent_count():
         f"declared {captured['cost'].flops} != enumerated {flops}"
     )
 
-    # the CLI's cost model agrees with the kernel's declaration
+    # the CLI's cost model agrees with the kernel's declaration,
+    # bytes included
     model = pallas_cost_model(tiled, f, feature_tile=Ft)
     assert model["flops"] == flops
+    assert model["bytes_accessed"] == captured["cost"].bytes_accessed
 
     # and the kernel's output is still the correct SpMM
     ref = np.asarray(graph.to_scipy() @ np.asarray(x))
     got = np.asarray(out)[:n, :f]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # --- flat (gen-2) kernel: same matmul enumeration, its own bytes
+    # schedule (one x-stripe block per chunk instead of every stripe per
+    # row block) — the CLI's flat=True model must match its declaration
+    captured.clear()
+    mod.pl.pallas_call = capture
+    try:
+        out_flat = mod.spmm_pallas_flat(tiled, x, feature_tile=Ft,
+                                        interpret=True)
+    finally:
+        mod.pl.pallas_call = orig
+    assert "cost" in captured
+    assert captured["cost"].flops == flops
+    model_flat = pallas_cost_model(tiled, f, feature_tile=Ft, flat=True)
+    assert model_flat["flops"] == flops
+    assert model_flat["bytes_accessed"] == captured["cost"].bytes_accessed
+    # flat skips the empty-cell stripe streams, so it must never model
+    # MORE x traffic than the manual-DMA schedule on the same tiling
+    assert model_flat["bytes_accessed"] <= model["bytes_accessed"]
+    np.testing.assert_allclose(np.asarray(out_flat)[:n, :f], ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernels_zero_edge_graph():
+    """nnz=0 (e.g. a row_subgraph of isolated nodes): both generations
+    must return zeros instead of crashing on an empty chunk schedule
+    (review finding: the flat kernel built a (n_ft, 0) grid)."""
+    from sgc_tpu.ops import spmm_pallas as mod
+
+    g = SparseGraph.from_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+        np.zeros(0, np.float32), 300, 300,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((300, 40), np.float32))
+    tiled = mod.tile_graph(g, row_block=256, stripe=256, chunk=64)
+    for fn in (mod.spmm_pallas_tiled, mod.spmm_pallas_flat):
+        out = np.asarray(fn(tiled, x, feature_tile=128, interpret=True))
+        assert out.shape[0] >= 300
+        np.testing.assert_array_equal(out, 0.0)
 
 
 def test_pallas_bench_cli_runs(monkeypatch, capsys):
