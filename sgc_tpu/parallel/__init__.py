@@ -19,6 +19,9 @@ collectives over ICI.
                   fault injection, determinism assertions
   scaling.py    — jax.distributed bring-up, edges/s scaling-efficiency
                   harness (1 dev vs n-dev mesh)
+  distributed.py— multi-process (DCN) host↔mesh data movement:
+                  put_global / fetch_global hide the single- vs
+                  multi-process placement difference
 """
 
 from sgc_tpu.parallel.mesh import make_mesh  # noqa: F401
@@ -29,4 +32,8 @@ from sgc_tpu.parallel.debug import assert_deterministic, validate_exchange  # no
 from sgc_tpu.parallel.scaling import (  # noqa: F401
     init_distributed,
     measure_spmm_scaling,
+)
+from sgc_tpu.parallel.distributed import (  # noqa: F401
+    fetch_global,
+    put_global,
 )

@@ -20,9 +20,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.parallel.distributed import fetch_global, put_global
 from sgc_tpu.parallel.halo import build_halo
 from sgc_tpu.parallel.mesh import (
     FEAT_AXIS,
@@ -106,12 +107,8 @@ def fit_sharded(
     y[: len(labels)] = np.asarray(labels, np.int32)
     m = np.zeros(pgraph.n_rows_padded, np.float32)
     m[np.asarray(idx_train)] = 1.0
-    y = jax.device_put(
-        jnp.asarray(y), NamedSharding(mesh, P(NODES_AXIS))
-    )
-    m = jax.device_put(
-        jnp.asarray(m), NamedSharding(mesh, P(NODES_AXIS))
-    )
+    y = put_global(mesh, P(NODES_AXIS), y)
+    m = put_global(mesh, P(NODES_AXIS), m)
 
     state = init_sharded_state(
         mesh, jax.random.PRNGKey(seed), int(x.shape[1]), n_classes,
@@ -125,11 +122,12 @@ def fit_sharded(
     for _ in range(epochs):
         state, loss = step(state, x, y, m)
         losses.append(loss)          # stay async: no per-epoch host sync
-    losses = [float(l) for l in losses]
+    losses = [float(fetch_global(l)) for l in losses]
 
-    # pull params to host (replicate the TP-sharded W)
-    w = np.asarray(jax.device_get(state.params.w))
-    b = np.asarray(jax.device_get(state.params.b))
+    # pull params to host (replicate the TP-sharded W; collective when
+    # the feat axis spans processes)
+    w = fetch_global(state.params.w)
+    b = fetch_global(state.params.b)
     params = SGCParams(w=jnp.asarray(w), b=jnp.asarray(b))
 
     # training accuracy from sharded features (jit auto-partitions)
@@ -137,7 +135,7 @@ def fit_sharded(
     def logits_fn(x, w, b):
         return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
 
-    logits = np.asarray(jax.device_get(logits_fn(x, params.w, params.b)))
+    logits = fetch_global(logits_fn(x, params.w, params.b))
     preds = logits.argmax(axis=1)
     idx = np.asarray(idx_train)
     train_acc = float(

@@ -56,6 +56,14 @@ def init_distributed(
                       "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
         ):
             return False
+    else:
+        # Explicit manual launch: stale single-host TPU cluster variables
+        # (e.g. TPU_WORKER_HOSTNAMES=localhost from a single-chip runtime)
+        # make initialize() mis-detect a 1-worker pod and ignore the
+        # explicit arguments (measured; parallel/distributed.py).
+        from sgc_tpu.parallel.distributed import scrub_single_host_tpu_env
+
+        scrub_single_host_tpu_env()
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

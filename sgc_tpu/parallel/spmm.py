@@ -109,5 +109,11 @@ def propagate_sharded(
 
 
 def shard_features(mesh, x: jnp.ndarray) -> jnp.ndarray:
-    """Place a [N_pad, F] feature matrix with P("nodes", "feat") sharding."""
-    return jax.device_put(x, NamedSharding(mesh, P(NODES_AXIS, FEAT_AXIS)))
+    """Place a [N_pad, F] feature matrix with P("nodes", "feat") sharding.
+
+    Multi-process safe: every process passes the same full host value and
+    contributes only its local shards (see parallel/distributed.py).
+    """
+    from sgc_tpu.parallel.distributed import put_global
+
+    return put_global(mesh, P(NODES_AXIS, FEAT_AXIS), x)
