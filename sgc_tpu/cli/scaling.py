@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--reorder", default="none",
                    choices=("none", "rcm", "bfs", "degree", "spectral"))
     p.add_argument("--json", action="store_true")
+    p.add_argument("--hosts", type=int, default=1,
+                   help="also print the two-level ICI+DCN comm model "
+                        "for this many hosts")
+    p.add_argument("--devices-per-host", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     a = p.parse_args()
 
@@ -111,6 +115,35 @@ def main() -> None:
                     ici=model["assumed_ici_gbps"],
                     eh=model["projected_efficiency_halo"],
                     ea=model["projected_efficiency_allgather"],
+                )
+            )
+
+    if a.hosts > 1:
+        from sgc_tpu.parallel.scaling import comm_model_two_level
+
+        # reuse the last measured single-device rate for t_local
+        two = comm_model_two_level(
+            graph, a.features, a.hosts, a.devices_per_host,
+            rep.single_rate,
+        )
+        if a.json:
+            print(json.dumps({"comm_model_two_level": two}))
+        else:
+            print(
+                "two-level model ({H} hosts x {D} chips): per hop "
+                "ICI {i} B/chip, DCN flat {df} B/host vs hierarchical "
+                "{dh} B/host ({sv:.0%} DCN saving); projected eff "
+                "flat {ef:.0%} / hier {eh:.0%} "
+                "(@{ici:.0f} GB/s ICI, {dcn:.1f} GB/s DCN)".format(
+                    H=two["hosts"], D=two["devices_per_host"],
+                    i=two["ici_bytes_per_hop_hier"],
+                    df=two["dcn_bytes_per_hop_flat"],
+                    dh=two["dcn_bytes_per_hop_hier"],
+                    sv=two["dcn_saving_hier_vs_flat"],
+                    ef=two["projected_efficiency_flat"],
+                    eh=two["projected_efficiency_hier"],
+                    ici=two["assumed_ici_gbps"],
+                    dcn=two["assumed_dcn_gbps"],
                 )
             )
 

@@ -150,6 +150,52 @@ def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
     )
 
 
+def _remote_refs(pgraph: PartitionedGraph):
+    """(dst_part, src_part, col) triples for live remote references."""
+    P = pgraph.n_parts
+    R = pgraph.rows_per_part
+    cols = np.asarray(pgraph.cols).ravel().astype(np.int64)
+    vals = np.asarray(pgraph.vals).ravel()
+    dst = np.repeat(np.arange(P, dtype=np.int64), pgraph.edges_per_part)
+    src = np.minimum(cols // R, P - 1)
+    remote = (vals != 0) & (src != dst)
+    return dst[remote], src[remote], cols[remote]
+
+
+def pair_width_matrix(pgraph: PartitionedGraph) -> np.ndarray:
+    """[P, P] unique-remote-column counts: W[dst, src] = rows dst needs
+    from src. Diagonal is 0 (local rows are not exchanged)."""
+    P = pgraph.n_parts
+    R = pgraph.rows_per_part
+    dst, src, cols = _remote_refs(pgraph)
+    key = (dst * P + src) * (np.int64(P) * R) + cols
+    counts = np.bincount(np.unique(key) // (np.int64(P) * R),
+                         minlength=P * P)
+    return counts.reshape(P, P)
+
+
+def host_union_widths(
+    pgraph: PartitionedGraph, n_hosts: int
+) -> np.ndarray:
+    """[n_hosts, P] unique columns needed from src part by ANY part on
+    the dst host (contiguous parts per host: part p lives on host p//D).
+
+    This is the cross-host volume of a hierarchical exchange: a row a
+    host needs crosses DCN once even when several of its chips reference
+    it, then fans out over ICI.
+    """
+    P = pgraph.n_parts
+    if P % n_hosts:
+        raise ValueError(f"{P} parts not divisible by {n_hosts} hosts")
+    D = P // n_hosts
+    R = pgraph.rows_per_part
+    dst, src, cols = _remote_refs(pgraph)
+    key = ((dst // D) * P + src) * (np.int64(P) * R) + cols
+    counts = np.bincount(np.unique(key) // (np.int64(P) * R),
+                         minlength=n_hosts * P)
+    return counts.reshape(n_hosts, P)
+
+
 def halo_stats(pgraph: PartitionedGraph) -> dict:
     """Per-pair halo-width distribution (padding-cost diagnostics).
 
@@ -158,17 +204,8 @@ def halo_stats(pgraph: PartitionedGraph) -> dict:
     ``all_to_all`` block size relative to a ragged exchange.
     """
     P = pgraph.n_parts
-    R = pgraph.rows_per_part
-    cols = np.asarray(pgraph.cols).ravel().astype(np.int64)
-    vals = np.asarray(pgraph.vals).ravel()
-    dst = np.repeat(np.arange(P, dtype=np.int64), pgraph.edges_per_part)
-    src = np.minimum(cols // R, P - 1)
-    remote = (vals != 0) & (src != dst)
-    pair = dst[remote] * P + src[remote]
-    key = pair * (np.int64(P) * R) + cols[remote]
-    counts = np.bincount(np.unique(key) // (np.int64(P) * R),
-                         minlength=P * P)
-    off_diag = counts.reshape(P, P)[~np.eye(P, dtype=bool)]
+    counts = pair_width_matrix(pgraph)
+    off_diag = counts[~np.eye(P, dtype=bool)]
     mean_w = float(off_diag.mean()) if off_diag.size else 0.0
     max_w = int(off_diag.max()) if off_diag.size else 0
     return {

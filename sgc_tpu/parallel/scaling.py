@@ -106,6 +106,11 @@ class ScalingReport:
 # explicit in every report that uses it, overridable per call.
 V5E_ICI_GBPS = 180.0
 
+# Per-host DCN (data-center network) bandwidth assumption for cross-host
+# projections: ~100 Gbps NIC per v5e host = 12.5 GB/s. Same caveats as
+# above — a MODEL constant, explicit in reports, overridable per call.
+V5E_DCN_GBPS = 12.5
+
 
 def comm_model(
     graph: SparseGraph,
@@ -179,6 +184,108 @@ def comm_model(
         "assumed_ici_gbps": ici_gbps,
         "projected_efficiency_halo": round(eff(t_halo), 4),
         "projected_efficiency_allgather": round(eff(t_ag), 4),
+    }
+
+
+def comm_model_two_level(
+    graph: SparseGraph,
+    feature_dim: int,
+    n_hosts: int,
+    devices_per_host: int,
+    single_rate_edges_s: float,
+    bytes_per_elem: int = 4,
+    ici_gbps: float = V5E_ICI_GBPS,
+    dcn_gbps: float = V5E_DCN_GBPS,
+) -> dict:
+    """Two-fabric (ICI within host, DCN across hosts) halo-traffic model.
+
+    Splits the per-hop exchange volume of a P = n_hosts*devices_per_host
+    node partition by which fabric each (dst, src) pair crosses
+    (contiguous parts per host — the layout put_global produces on a
+    multi-host mesh), and projects scaling efficiency with the two
+    transfers overlapped:
+
+        eff = t_local / max(t_local, t_ici, t_dcn)
+
+    Units: ``ici_bytes_*`` are per CHIP per hop (each chip drives its
+    own ICI links); ``dcn_bytes_*`` are per HOST per hop (the NIC is a
+    shared per-host resource). Two cross-host variants are reported:
+      * flat     — the implemented uniform all_to_all: every remote pair
+                   exchanges the global max width H over whichever fabric
+                   connects it; DCN pairs dominate cost.
+      * hierarchical — each needed row crosses DCN ONCE per destination
+                   host (union over its chips; exact ragged byte counts
+                   from the edge list) and fans out over ICI. This is the
+                   design target for pod-scale runs; the gap between the
+                   two is the payoff of adding the host-level stage.
+
+    Pure host-side analysis (no devices needed); all model inputs are in
+    the output so a real multi-host measurement can audit it.
+    """
+    from sgc_tpu.parallel.halo import (
+        HALO_PAD,
+        host_union_widths,
+        pair_width_matrix,
+    )
+    from sgc_tpu.parallel.partition import _round_up
+
+    P = n_hosts * devices_per_host
+    D = devices_per_host
+    F = feature_dim
+    t0 = time.perf_counter()
+    pgraph = partition_graph(graph, P)
+    W = pair_width_matrix(pgraph)                      # [P, P]
+    U = host_union_widths(pgraph, n_hosts)             # [n_hosts, P]
+    plan_build_s = time.perf_counter() - t0
+
+    H = _round_up(max(int(W.max()), 1), HALO_PAD)
+    part_host = np.arange(P) // D
+    same_host = part_host[:, None] == part_host[None, :]
+    off_diag = ~np.eye(P, dtype=bool)
+
+    # flat uniform exchange: H rows per remote pair, one direction
+    # counted. ICI volume is per CHIP (each chip drives its own links);
+    # DCN volume is per HOST (the NIC is a shared per-host resource, so
+    # a host's cost is the sum over its D chips' cross-host pairs).
+    n_ici_pairs = int((same_host & off_diag).sum(axis=1).max())
+    dcn_pairs_per_host = (~same_host).sum(axis=1).reshape(n_hosts, D)
+    n_dcn_pairs = int(dcn_pairs_per_host.sum(axis=1).max())
+    ici_flat = n_ici_pairs * H * F * bytes_per_elem
+    dcn_flat = n_dcn_pairs * H * F * bytes_per_elem
+
+    # hierarchical: exact ragged row counts; DCN volume is the per-host
+    # union of remote-host rows (each row crosses DCN once), ICI volume
+    # is the worst chip's intra-host ragged exchange
+    remote_src = part_host[None, :P] != np.arange(n_hosts)[:, None]
+    dcn_rows_per_host = (U * remote_src).sum(axis=1)
+    dcn_hier = int(dcn_rows_per_host.max()) * F * bytes_per_elem
+    ici_rows_per_chip = (W * (same_host & off_diag)).sum(axis=1)
+    ici_hier = int(ici_rows_per_chip.max()) * F * bytes_per_elem
+
+    t_local = (graph.nnz / P) / max(single_rate_edges_s, 1.0)
+
+    def eff(ici_bytes: float, dcn_bytes: float) -> float:
+        t_ici = ici_bytes / (ici_gbps * 1e9)
+        t_dcn = dcn_bytes / (dcn_gbps * 1e9)
+        return t_local / max(t_local, t_ici, t_dcn)
+
+    return {
+        "hosts": n_hosts,
+        "devices_per_host": D,
+        "devices": P,
+        "halo_width": H,
+        "plan_build_s": round(plan_build_s, 3),
+        "ici_bytes_per_hop_flat": int(ici_flat),
+        "dcn_bytes_per_hop_flat": int(dcn_flat),
+        "ici_bytes_per_hop_hier": int(ici_hier),
+        "dcn_bytes_per_hop_hier": int(dcn_hier),
+        "dcn_saving_hier_vs_flat": round(
+            1.0 - dcn_hier / dcn_flat, 4
+        ) if dcn_flat else 0.0,
+        "assumed_ici_gbps": ici_gbps,
+        "assumed_dcn_gbps": dcn_gbps,
+        "projected_efficiency_flat": round(eff(ici_flat, dcn_flat), 4),
+        "projected_efficiency_hier": round(eff(ici_hier, dcn_hier), 4),
     }
 
 

@@ -107,6 +107,74 @@ def test_comm_model_sizing_only_matches_full_build():
         assert full[k] == light[k], (k, full[k], light[k])
 
 
+def test_pair_width_matrix_oracle():
+    """W[dst, src] against a direct scipy-free set-based oracle."""
+    from sgc_tpu.parallel.halo import pair_width_matrix
+
+    g = _graph(n=256, e=2000, seed=5)
+    P = 4
+    pg = partition_graph(g, P)
+    W = pair_width_matrix(pg)
+
+    R = pg.rows_per_part
+    cols = np.asarray(pg.cols)
+    vals = np.asarray(pg.vals)
+    expect = np.zeros((P, P), np.int64)
+    for d in range(P):
+        live = cols[d][vals[d] != 0]
+        for s in range(P):
+            if s == d:
+                continue
+            expect[d, s] = len(
+                {c for c in live if min(c // R, P - 1) == s}
+            )
+    np.testing.assert_array_equal(W, expect)
+    assert np.all(np.diag(W) == 0)
+
+
+def test_host_union_widths_bounds():
+    """Union width per (host, src) is at most the sum of its chips' pair
+    widths and at least their max (dedup can only shrink)."""
+    from sgc_tpu.parallel.halo import host_union_widths, pair_width_matrix
+
+    g = _graph(n=256, e=2000, seed=6)
+    pg = partition_graph(g, 4)
+    W = pair_width_matrix(pg)
+    U = host_union_widths(pg, 2)
+    for h in range(2):
+        chips = W[2 * h: 2 * h + 2]          # [2, P]
+        assert np.all(U[h] <= chips.sum(axis=0))
+        assert np.all(U[h] >= chips.max(axis=0))
+
+
+def test_two_level_model_hier_beats_flat_on_clustered():
+    from sgc_tpu.parallel.scaling import comm_model_two_level
+
+    n, P = 1024, 8
+    rng = np.random.default_rng(7)
+    block = n // P
+    src = rng.integers(0, n, 8000)
+    same = rng.random(8000) < 0.9
+    dst = np.where(
+        same,
+        (src // block) * block + rng.integers(0, block, 8000),
+        rng.integers(0, n, 8000),
+    )
+    g = SparseGraph.from_coo(src, dst, np.ones(8000, np.float32), n, n)
+    m = comm_model_two_level(g, 64, n_hosts=2, devices_per_host=4,
+                             single_rate_edges_s=1e8)
+    assert m["devices"] == 8
+    # hierarchical DCN volume can't exceed flat (dedup + no padding)
+    assert m["dcn_bytes_per_hop_hier"] <= m["dcn_bytes_per_hop_flat"]
+    assert m["projected_efficiency_hier"] >= m["projected_efficiency_flat"]
+    assert 0 < m["projected_efficiency_hier"] <= 1.0
+    # flat byte split must follow the uniform-width formula: 3 intra-host
+    # peers per chip (ICI, per chip), 4 chips x 4 remote peers per host
+    # (DCN, per host)
+    assert m["ici_bytes_per_hop_flat"] == 3 * m["halo_width"] * 64 * 4
+    assert m["dcn_bytes_per_hop_flat"] == 16 * m["halo_width"] * 64 * 4
+
+
 def test_optimized_precision_matches_reference_formula():
     """OP vs an independent sklearn-confusion-matrix oracle implementing
     the exact reference aggregation (trainv2.py:204-223): per-class
