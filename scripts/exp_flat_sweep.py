@@ -11,9 +11,13 @@ Usage: python scripts/exp_flat_sweep.py [--scale 0.1] [--json out.jsonl]
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -31,7 +35,7 @@ def main():
     from sgc_tpu.ops.spmm_pallas import spmm_pallas_flat, tile_graph
     from sgc_tpu.utils.profiling import sync
 
-    graph, x = synthetic_reddit(args.scale)
+    graph, x, _, _ = synthetic_reddit(args.scale)
     n, f = x.shape
     e = graph.rows.shape[0]
     print(f"backend={jax.default_backend()} nodes={n} edges={e} f={f}",
@@ -43,16 +47,22 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.repeats):
         r = seg(xd)
-    r.block_until_ready(); sync()
+    r.block_until_ready(); sync(r)
     xla_s = (time.perf_counter() - t0) / args.repeats
     ref = np.asarray(r)
     print(f"xla_segment_s={xla_s:.4f} ({e/xla_s/1e6:.1f}M edges/s)",
           flush=True)
 
+    # Measured (round 2, first healthy backend): chunk MUST be a multiple
+    # of 1024 = 8 sublanes x 128 lanes — a 1-D (C,) block below the f32
+    # min tile crashes the Mosaic compile helper (exit 1). So C is pinned
+    # and the sweep explores the (row_block, stripe) cell grid instead:
+    # smaller cells cut one-hot FLOPs ~linearly but pad every sparse cell
+    # up to a full 1024-edge chunk.
     configs = []
-    for rb in (256, 512, 1024, 2048):
-        for c in (128, 256, 512):
-            configs.append((rb, rb, c, "f32"))
+    for rb in (512, 1024, 2048):
+        for w in (1024, 2048):
+            configs.append((rb, w, 1024, "f32"))
     rows = []
     out_f = open(args.json, "a") if args.json else None
     for rb, w, c, prec in configs:
@@ -64,7 +74,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.repeats):
                 y = fn(xd)
-            y.block_until_ready(); sync()
+            y.block_until_ready(); sync(y)
             dt = (time.perf_counter() - t0) / args.repeats
             err = float(np.max(np.abs(np.asarray(y)[:n, :f] - ref))
                         / max(1e-9, float(np.max(np.abs(ref)))))
@@ -92,7 +102,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.repeats):
             y = fn(xd)
-        y.block_until_ready(); sync()
+        y.block_until_ready(); sync(y)
         dt = (time.perf_counter() - t0) / args.repeats
         err = float(np.max(np.abs(np.asarray(y)[:n, :f] - ref))
                     / max(1e-9, float(np.max(np.abs(ref)))))

@@ -441,6 +441,14 @@ def spmm_pallas_flat(
     """
     R, W, C = tiled.row_block, tiled.stripe, tiled.chunk
     n_rb, n_st = tiled.n_row_blocks, tiled.n_stripes
+    if not interpret and C % 1024 != 0:
+        # Measured on the first healthy backend (round 2): a 1-D (C,)
+        # edge block below 1024 = 8 sublanes x 128 lanes (the f32/int32
+        # min tile) crashes the Mosaic compile with no diagnostic, so
+        # fail loudly here instead. Interpret mode has no such floor.
+        raise ValueError(
+            f"spmm_pallas_flat compiled mode needs chunk % 1024 == 0 "
+            f"(got {C}): 1-D edge blocks must cover the 8x128 min tile")
 
     x, Ft, n_ft, mm_dtype = _pad_for_kernel(tiled, x, feature_tile,
                                             precision)
