@@ -19,6 +19,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("SGC_TPU_COMPILE_CACHE", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -28,6 +31,13 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["SGC_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sgc_tpu.data.synthetic import synthetic_reddit

@@ -45,3 +45,63 @@ def synthetic_reddit(scale: float, seed: int = 42):
     labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
     n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
     return graph, features, labels, np.arange(n_train)
+
+
+def synthetic_reddit_clustered(
+    scale: float,
+    seed: int = 42,
+    communities: int = 50,
+    intra: float = 0.85,
+):
+    """Reddit-dimension synthetic with community structure.
+
+    Real Reddit (post-to-post via shared commenters; reference
+    README.md:66-68) is strongly community-clustered — posts in the same
+    subreddit are densely interlinked, unlike :func:`synthetic_reddit`'s
+    uniform column spread. This variant draws ``intra`` of the edges
+    within equal-size communities (contiguous id ranges: stands in for
+    the community ordering a clustering / partition pass would produce —
+    see graph/reorder.py, parallel/partition.py) and the rest uniformly.
+
+    Under a (row_block, stripe) cell tiling the intra edges concentrate
+    in diagonal-block cells, which is the regime where the MXU SpMM
+    kernel (ops/spmm_pallas.py) beats the XLA gather path at full scale;
+    the inter-community tail stays uniformly sparse. Same return
+    contract as :func:`synthetic_reddit`.
+    """
+    import scipy.sparse as sp
+
+    from sgc_tpu.graph.normalize import aug_normalized_adjacency
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    n = max(int(REDDIT_NODES * scale), 1024)
+    e = max(int(REDDIT_EDGES * scale), 4096)
+    rng = np.random.default_rng(seed)
+
+    m = e // 2
+    comm_size = max(n // communities, 1)
+    is_intra = rng.random(m) < intra
+    n_in = int(is_intra.sum())
+
+    # intra edges: squared-uniform skew WITHIN the community (hub posts)
+    comm = rng.integers(0, communities, n_in)
+    base = comm * comm_size
+    src_in = base + ((rng.random(n_in) ** 2 * comm_size).astype(np.int64)
+                     % comm_size)
+    dst_in = base + rng.integers(0, comm_size, n_in)
+    # inter edges: uniform pairs (the sparse remainder)
+    src_out = rng.integers(0, n, m - n_in)
+    dst_out = rng.integers(0, n, m - n_in)
+
+    src = np.clip(np.concatenate([src_in, src_out]), 0, n - 1)
+    dst = np.clip(np.concatenate([dst_in, dst_out]), 0, n - 1)
+    adj = sp.coo_matrix(
+        (np.ones(m, dtype=np.float32), (src, dst)), shape=(n, n)
+    )
+    adj = adj + adj.T
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
+
+    features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
+    labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
+    n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
+    return graph, features, labels, np.arange(n_train)

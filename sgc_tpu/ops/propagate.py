@@ -128,6 +128,52 @@ def sgc_precompute(
         out = features[jnp.asarray(np.asarray(out_rows))]
         sync(out)
         return out, perf_counter() - t
+    if impl in ("pallas", "hybrid"):
+        # These impls tile/split the graph HOST-side on first use, so the
+        # graph cannot be a traced jit argument; capture it concretely in
+        # a closure and jit over the features only. The tiling build is
+        # cached (spmm_pallas._tile_cached / spmm_hybrid._split_cached)
+        # and, like row_subgraph, excluded from the timed region.
+        final = (_row_subgraph_cached(graph, out_rows)
+                 if out_rows is not None else None)
+        if impl == "hybrid":
+            # the split itself must be built EAGERLY (it constructs
+            # SparseGraphs, which would trace under jit)
+            from sgc_tpu.ops.spmm_hybrid import (_split_cached,
+                                                 spmm_hybrid_split)
+
+            nf = int(features.shape[1])
+            main_split = _split_cached(graph, nf, 512, 512, 1024, None)
+            final_split = (_split_cached(final, nf, 512, 512, 1024, None)
+                           if final is not None else None)
+
+            def hop(x, g):
+                del g
+                return spmm_hybrid_split(main_split, x)
+
+            def final_hop(x):
+                return spmm_hybrid_split(final_split, x)
+        else:
+            def hop(x, g):
+                return spmm(g, x, impl=impl)
+
+            def final_hop(x):
+                return spmm(final, x, impl=impl)
+
+        def khop(x):
+            for _ in range(degree - (1 if final is not None else 0)):
+                x = hop(x, graph)
+            if final is not None:
+                x = final_hop(x)
+            return x
+
+        khop_j = jax.jit(khop)
+        khop_j.lower(features).compile()
+        t = perf_counter()
+        out = khop_j(features)
+        sync(out)
+        return out, perf_counter() - t
+
     if out_rows is not None and degree >= 1:
         final = _row_subgraph_cached(graph, out_rows)
         _propagate_final_subset.lower(

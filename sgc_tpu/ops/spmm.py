@@ -101,7 +101,10 @@ def spmm(
     Args:
       graph: (n_rows, n_cols) sparse matrix as a row-sorted SparseGraph.
       x:     float[n_cols, F] dense features.
-      impl:  'auto' | 'segment' | 'chunked' | 'pallas'.
+      impl:  'auto' | 'segment' | 'chunked' | 'pallas' | 'hybrid'.
+             'pallas' and 'hybrid' do host-side tiling on first use, so
+             they need a concrete (non-traced) graph — call them outside
+             jit or close over a prebuilt tiling/split.
 
     Returns:
       float32[n_rows, F].
@@ -130,6 +133,10 @@ def spmm(
         from sgc_tpu.ops.spmm_pallas import spmm_pallas
 
         return spmm_pallas(graph, x)
+    if impl == "hybrid":
+        from sgc_tpu.ops.spmm_hybrid import spmm_hybrid
+
+        return spmm_hybrid(graph, x)
     raise ValueError(f"unknown spmm impl {impl!r}")
 
 

@@ -1,0 +1,223 @@
+"""Hybrid SpMM: dense cells on the MXU kernel, sparse remainder on XLA.
+
+Round-1 VERDICT #1(b) prescribed a hybrid tiled path — "turn dense-enough
+row x col blocks into MXU matmuls, keep segment-sum for the sparse
+remainder". With the flat Pallas kernel now running compiled, this module
+implements it as a first-class op: edges are split ONCE (host-side) by
+cell density under a (row_block, stripe) tiling, the dense cells run
+through :func:`sgc_tpu.ops.spmm_pallas.spmm_pallas_flat` (one-hot MXU
+matmuls, ~72% MXU utilization measured on v5e), and the leftover sparse
+edges run through the XLA gather/segment-sum path (~34M edges/s wall,
+measured flat across layouts/dtypes — docs/DESIGN.md §2b).
+
+The split criterion is a measured cost model, not a heuristic: a cell
+goes to the MXU iff its predicted kernel rate beats the XLA wall,
+
+    mxu_rate(cell) = MXU_SUSTAINED / (2*(W+R)*F_pad) * fill(cell)
+    fill(cell)     = edges / (ceil(edges / chunk) * chunk)
+
+so the dispatch adapts to tile geometry and feature width. On the
+uniform synthetic Reddit (squared-uniform skew, no clustering) no cell
+qualifies at full scale and the op degrades to pure segment-sum — the
+honest outcome; on community-clustered graphs (real Reddit's topology;
+data/synthetic.py::synthetic_reddit_clustered) the intra-community
+diagonal cells qualify and the MXU carries most of the edges.
+
+Reference parity: replaces torch.spmm (reference utils.py:95) like the
+other spmm impls; selected via ``spmm(graph, x, impl="hybrid")``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.ops.spmm import spmm_segment
+
+# Measured on v5e (scripts/exp_flat_sweep.py, scripts/exp_crossover.py):
+# the flat kernel sustains ~72% of the 197 TFLOP/s MXU peak at
+# (1024,1024) cells, and the XLA segment path's gather wall is ~34M
+# edges/s at Reddit scale (DESIGN.md §2b). These set the dense-cell
+# admission threshold; override per-call for other parts.
+MXU_SUSTAINED_FLOPS = 142e12
+XLA_EDGES_PER_S = 34e6
+
+DEFAULT_ROW_BLOCK = 512
+DEFAULT_STRIPE = 512
+DEFAULT_CHUNK = 1024  # Mosaic floor: 1-D edge blocks need the 8x128 tile
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridSplit:
+    """Host-side split of a graph into MXU-tiled dense cells + remainder.
+
+    ``tiled`` is None when no cell met the density threshold (pure XLA),
+    ``rest`` is None when every edge landed in a dense cell (pure MXU).
+    """
+
+    tiled: object | None        # TiledGraph
+    rest: SparseGraph | None
+    n_rows: int
+    n_cols: int
+    dense_edges: int
+    sparse_edges: int
+    pad: float                  # padded/actual over the dense part (1.0 if none)
+    min_fill: float
+
+
+def min_fill_for(
+    row_block: int,
+    stripe: int,
+    n_features: int,
+    xla_edges_per_s: float = XLA_EDGES_PER_S,
+    mxu_flops_per_s: float = MXU_SUSTAINED_FLOPS,
+) -> float:
+    """Cell fill at which the MXU kernel matches the XLA gather wall.
+
+    Per padded edge the one-hot formulation costs 2*(W+R)*F_pad flops,
+    so a cell with fill f runs at mxu_flops/(2*(W+R)*F_pad) * f edges/s.
+    """
+    f_pad = -(-max(n_features, 128) // 128) * 128
+    full_fill_rate = mxu_flops_per_s / (2.0 * (stripe + row_block) * f_pad)
+    return min(1.0, xla_edges_per_s / full_fill_rate)
+
+
+def split_dense_cells(
+    graph: SparseGraph,
+    n_features: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    chunk: int = DEFAULT_CHUNK,
+    min_fill: float | None = None,
+) -> HybridSplit:
+    """Partition edges by cell density (host-side, done once per graph)."""
+    from sgc_tpu.ops.spmm_pallas import tile_graph
+
+    if min_fill is None:
+        min_fill = min_fill_for(row_block, stripe, n_features)
+
+    import jax.core
+
+    if isinstance(graph.rows, jax.core.Tracer):
+        raise TypeError(
+            "split_dense_cells needs a concrete graph (it builds the "
+            "tiling host-side): construct the HybridSplit OUTSIDE jit "
+            "and call spmm_hybrid_split(split, x) in the traced code")
+    rows = np.asarray(graph.rows)[: graph.nnz].astype(np.int64)
+    cols = np.asarray(graph.cols)[: graph.nnz].astype(np.int64)
+    vals = np.asarray(graph.vals)[: graph.nnz].astype(np.float32)
+
+    n_st = -(-graph.n_cols // stripe)
+    cell = (rows // row_block) * n_st + (cols // stripe)
+    counts = np.bincount(cell, minlength=(-(-graph.n_rows // row_block)) * n_st)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fill = counts / (-(-counts // chunk) * chunk).clip(min=1)
+    dense_cell = fill >= min_fill
+
+    dense_mask = dense_cell[cell]
+    n_dense = int(dense_mask.sum())
+    n_sparse = len(rows) - n_dense
+
+    tiled = None
+    pad = 1.0
+    if n_dense:
+        dense_graph = SparseGraph.from_coo(
+            rows[dense_mask], cols[dense_mask], vals[dense_mask],
+            n_rows=graph.n_rows, n_cols=graph.n_cols,
+        )
+        tiled = tile_graph(dense_graph, row_block, stripe, chunk)
+        pad = tiled.rows.shape[0] / n_dense
+    rest = None
+    if n_sparse:
+        rest = SparseGraph.from_coo(
+            rows[~dense_mask], cols[~dense_mask], vals[~dense_mask],
+            n_rows=graph.n_rows, n_cols=graph.n_cols,
+        )
+    return HybridSplit(
+        tiled=tiled, rest=rest, n_rows=graph.n_rows, n_cols=graph.n_cols,
+        dense_edges=n_dense, sparse_edges=n_sparse, pad=pad,
+        min_fill=min_fill,
+    )
+
+
+def spmm_hybrid_split(
+    split: HybridSplit,
+    x: jnp.ndarray,
+    feature_tile: int = 256,
+    interpret: bool | None = None,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """SpMM over a prebuilt :class:`HybridSplit` (jit-traceable).
+
+    Deterministic (both parts have fixed reduction order) but not
+    bitwise-equal to the pure segment path: the dense part accumulates
+    cell-major on the MXU, then the sparse remainder is added — f32
+    rounding-level agreement at precision='f32'.
+    """
+    from sgc_tpu.ops.spmm_pallas import _default_interpret, spmm_pallas_flat
+
+    if interpret is None:
+        interpret = _default_interpret()
+    parts = []
+    if split.tiled is not None:
+        dense = spmm_pallas_flat(
+            split.tiled, x, feature_tile=feature_tile,
+            interpret=interpret, precision=precision,
+        )[: split.n_rows, : x.shape[1]]
+        parts.append(dense)
+    if split.rest is not None:
+        parts.append(spmm_segment(split.rest, x))
+    if not parts:
+        return jnp.zeros((split.n_rows, x.shape[1]), jnp.float32)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+# The split is O(E) host work; K-hop loops and repeated training calls
+# must not re-split. Same keying discipline as spmm_pallas._tile_cached.
+_SPLIT_CACHE: dict = {}
+_SPLIT_CACHE_MAX = 8
+
+
+def _split_cached(
+    graph: SparseGraph, n_features: int, row_block: int, stripe: int,
+    chunk: int, min_fill: float | None,
+) -> HybridSplit:
+    key = (id(graph.rows), id(graph.cols), id(graph.vals), graph.nnz,
+           n_features, row_block, stripe, chunk, min_fill)
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    split = split_dense_cells(
+        graph, n_features, row_block, stripe, chunk, min_fill)
+    if len(_SPLIT_CACHE) >= _SPLIT_CACHE_MAX:
+        _SPLIT_CACHE.pop(next(iter(_SPLIT_CACHE)))
+    # pin source buffers so their ids cannot be recycled while cached
+    _SPLIT_CACHE[key] = (graph.rows, graph.cols, graph.vals, split)
+    return split
+
+
+def spmm_hybrid(
+    graph: SparseGraph,
+    x: jnp.ndarray,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    chunk: int = DEFAULT_CHUNK,
+    min_fill: float | None = None,
+    feature_tile: int = 256,
+    interpret: bool | None = None,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """Drop-in hybrid SpMM: split on first use (cached), then dispatch."""
+    split = _split_cached(
+        graph, int(x.shape[1]), row_block, stripe, chunk, min_fill)
+    return spmm_hybrid_split(
+        split, x, feature_tile=feature_tile, interpret=interpret,
+        precision=precision,
+    )
