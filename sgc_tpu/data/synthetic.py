@@ -52,6 +52,7 @@ def synthetic_reddit_clustered(
     seed: int = 42,
     communities: int = 50,
     intra: float = 0.85,
+    shuffle: bool = False,
 ):
     """Reddit-dimension synthetic with community structure.
 
@@ -95,13 +96,28 @@ def synthetic_reddit_clustered(
 
     src = np.clip(np.concatenate([src_in, src_out]), 0, n - 1)
     dst = np.clip(np.concatenate([dst_in, dst_out]), 0, n - 1)
+
+    features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
+    labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
+    n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
+    idx_train = np.arange(n_train)
+
+    if shuffle:
+        # Real graphs arrive with arbitrary node ids — shuffling forces
+        # consumers to DISCOVER the community structure (graph/reorder.py
+        # lpa_order) instead of inheriting the generator's ordering.
+        perm = rng.permutation(n)  # perm[old] = new id
+        src, dst = perm[src], perm[dst]
+        # per-node arrays must satisfy new_arr[perm[old]] = old_arr[old]
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        features = features[inv]
+        labels = labels[inv]
+        idx_train = np.sort(perm[idx_train])
+
     adj = sp.coo_matrix(
         (np.ones(m, dtype=np.float32), (src, dst)), shape=(n, n)
     )
     adj = adj + adj.T
     graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
-
-    features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
-    labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
-    n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
-    return graph, features, labels, np.arange(n_train)
+    return graph, features, labels, idx_train

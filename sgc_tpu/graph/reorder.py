@@ -131,11 +131,69 @@ def spectral_order(adj: sp.spmatrix, tol: float = 1e-4) -> np.ndarray:
     return np.concatenate([order_component(p) for p in parts])
 
 
+def lpa_order(
+    adj: sp.spmatrix,
+    max_iter: int = 20,
+    seed: int = 0,
+    min_moved: float = 1e-3,
+) -> np.ndarray:
+    """Community ordering by label propagation (Raghavan et al. 2007).
+
+    Each node repeatedly adopts the most frequent label among its
+    neighbors; on community-structured graphs this converges in a handful
+    of sweeps and the final labels ARE the communities. Nodes are then
+    laid out community-contiguously (largest community first, ascending
+    old id inside), which is exactly what block-local consumers want:
+    the hybrid SpMM's dense-cell dispatch (`ops/spmm_hybrid.py`) and the
+    row-block partitioner both see intra-community edges land in
+    diagonal cells. Measured recovery on the clustered synthetic
+    (scripts/exp_cluster_recovery.py): shuffled ids 0.03 → lpa ~oracle
+    dense_frac, where bfs/rcm plateau near 0.33.
+
+    Vectorized synchronous sweeps: one (row, neighbor-label) count per
+    iteration via sort+unique — O(E log E) host work per sweep. Ties
+    break uniformly at random (fresh draw per sweep, deterministic under
+    ``seed``). Stops when fewer than ``min_moved`` of nodes change label.
+    """
+    csr = adj.tocsr()
+    n = csr.shape[0]
+    if n == 0:
+        return np.arange(0)
+    indptr = csr.indptr
+    indices = csr.indices.astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    labels = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    for _ in range(max_iter):
+        key = rows * n + labels[indices]
+        uniq, counts = np.unique(key, return_counts=True)
+        urow = uniq // n
+        ulab = uniq % n
+        # per-row argmax of counts, uniform random tie-break: sort by
+        # (row, count, random) and take the last entry of each row group
+        perm = np.lexsort((rng.random(len(uniq)), counts, urow))
+        urow_s = urow[perm]
+        last = np.nonzero(np.diff(urow_s, append=n + 1))[0]
+        new = labels.copy()
+        new[urow_s[last]] = ulab[perm][last]
+        moved = int((new != labels).sum())
+        labels = new
+        if moved <= min_moved * n:
+            break
+    # canonicalize: largest community first, ascending old id within
+    comm_ids, comm_inverse, comm_sizes = np.unique(
+        labels, return_inverse=True, return_counts=True)
+    rank = np.empty(len(comm_ids), np.int64)
+    rank[np.argsort(-comm_sizes, kind="stable")] = np.arange(len(comm_ids))
+    return np.lexsort((np.arange(n), rank[comm_inverse]))
+
+
 ORDERINGS = {
     "rcm": rcm_order,
     "bfs": bfs_order,
     "degree": degree_order,
     "spectral": spectral_order,
+    "lpa": lpa_order,
     "none": lambda adj: np.arange(adj.shape[0]),
 }
 

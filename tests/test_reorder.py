@@ -39,7 +39,7 @@ def _clustered_graph(n_clusters=4, per=64, p_in=0.2, p_out=0.01, seed=0):
     return adj[shuffle][:, shuffle]
 
 
-@pytest.mark.parametrize("name", ["rcm", "bfs", "degree", "none"])
+@pytest.mark.parametrize("name", ["rcm", "bfs", "degree", "lpa", "none"])
 def test_orders_are_permutations(name):
     adj = _clustered_graph()
     order = fetch_ordering(name)(adj)
@@ -94,6 +94,43 @@ def test_spectral_reduces_halo_fraction_on_clustered_graph():
         f"spectral {frac_ordered:.3f} !< half of shuffled "
         f"{frac_shuffled:.3f}"
     )
+
+
+def test_lpa_recovers_planted_communities():
+    """On an SBM with shuffled ids, label propagation must place each
+    planted block contiguously (up to block order): every ground-truth
+    community maps to one run of consecutive new positions."""
+    from sgc_tpu.graph.reorder import lpa_order
+
+    # same construction as _clustered_graph but keeping the block labels
+    n_clusters, per = 4, 64
+    n = n_clusters * per
+    rng = np.random.default_rng(7)
+    blocks = np.repeat(np.arange(n_clusters), per)
+    r, c = np.triu_indices(n, 1)
+    same = blocks[r] == blocks[c]
+    keep = np.random.default_rng(0).random(len(r)) < np.where(same, 0.2, 0.01)
+    adj = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (r[keep], c[keep])),
+        shape=(n, n))
+    shuffle = rng.permutation(n)
+    # adj[shuffle][:, shuffle] puts old node shuffle[i] at new index i
+    adj = (adj + adj.T).tocsr()[shuffle][:, shuffle]
+    label_of_new = blocks[shuffle]
+
+    order = lpa_order(adj)  # order[pos] = new id
+    seq = label_of_new[order]
+    # count label runs: should equal the number of planted communities
+    runs = 1 + int(np.count_nonzero(np.diff(seq)))
+    assert runs == n_clusters, f"{runs} label runs (expected {n_clusters})"
+
+
+def test_lpa_order_deterministic():
+    from sgc_tpu.graph.reorder import lpa_order
+
+    adj = _clustered_graph(seed=9)
+    np.testing.assert_array_equal(lpa_order(adj, seed=5),
+                                  lpa_order(adj, seed=5))
 
 
 def test_degree_order_descending():

@@ -163,6 +163,36 @@ def test_clustered_synthetic_routes_mostly_dense():
         np.asarray(spmm_segment(graph, xs)), rtol=3e-5, atol=3e-5)
 
 
+def test_clustered_shuffle_is_exact_relabeling():
+    """shuffle=True must be the SAME graph under a node permutation —
+    recover the permutation from the (unique, iid-normal) feature rows
+    and check adjacency, labels and train ids map through it exactly."""
+    import scipy.sparse as sp
+
+    from sgc_tpu.data.synthetic import synthetic_reddit_clustered
+
+    gu, xu, lu, tu = synthetic_reddit_clustered(0.01, shuffle=False)
+    gs, xs, ls, ts = synthetic_reddit_clustered(0.01, shuffle=True)
+    n = gu.n_rows
+    pos_s = {row.tobytes(): i for i, row in enumerate(xs)}
+    perm = np.array([pos_s[row.tobytes()] for row in xu])  # perm[old]=new
+    assert len(set(perm.tolist())) == n
+
+    np.testing.assert_array_equal(ls[perm], lu)
+    np.testing.assert_array_equal(np.sort(perm[tu]), ts)
+    assert np.all(np.diff(ts) > 0)  # shuffled train ids arrive sorted
+
+    def coo(g):
+        return sp.coo_matrix(
+            (np.asarray(g.vals)[: g.nnz],
+             (np.asarray(g.rows)[: g.nnz], np.asarray(g.cols)[: g.nnz])),
+            shape=(g.n_rows, g.n_cols)).tocsr()
+
+    au, ash = coo(gu), coo(gs)
+    # same sparsity pattern and (normalized) values under the permutation
+    assert (abs(ash[perm][:, perm] - au)).max() < 1e-6
+
+
 def test_clustered_synthetic_contract_matches_uniform():
     from sgc_tpu.data.synthetic import (synthetic_reddit,
                                         synthetic_reddit_clustered)
