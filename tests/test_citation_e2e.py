@@ -68,6 +68,46 @@ def test_sweep_cli_reproduces_golden_at_k2():
 
 
 @requires_cora
+@pytest.mark.parametrize("precision", ["f32", "bf16"])
+def test_cora_golden_through_forced_mxu_hybrid(precision):
+    """Golden accuracy with EVERY edge routed through the one-hot MXU
+    kernel (min_fill=0 -> no XLA remainder), in both kernel precisions.
+
+    This backs the bench's kernel-precision choice on a real dataset: the
+    MXU rounds f32 operands to bf16 anyway (docs/DESIGN.md section 2c), so
+    bf16 must not cost accuracy."""
+    import jax
+
+    from sgc_tpu.models.sgc import init_sgc, sgc_apply
+    from sgc_tpu.ops.spmm_hybrid import split_dense_cells, spmm_hybrid_split
+    from sgc_tpu.train.loops import train_regression
+    from sgc_tpu.train.metrics import accuracy
+    from sgc_tpu.utils.config import CitationConfig
+    from sgc_tpu.utils.seeding import set_seed
+
+    cfg = CitationConfig(dataset="cora", tuned=True).resolve()
+    key = set_seed(cfg.seed)
+    data = load_citation("cora")
+    split = split_dense_cells(
+        data.graph, int(data.features.shape[1]), 256, 256, min_fill=0.0)
+    assert split.rest is None and split.dense_edges == data.graph.nnz
+
+    feats = data.features
+    for _ in range(cfg.degree):
+        feats = jax.jit(
+            lambda x: spmm_hybrid_split(split, x, precision=precision)
+        )(feats)
+
+    params = init_sgc(key, data.features.shape[1], data.n_classes)
+    params, _ = train_regression(
+        params, feats[data.idx_train], data.labels[data.idx_train],
+        cfg.epochs, cfg.weight_decay, cfg.lr)
+    acc = float(accuracy(
+        sgc_apply(params, feats[data.idx_test]), data.labels[data.idx_test]))
+    assert acc >= 0.805, f"{precision}: {acc}"
+
+
+@requires_cora
 def test_appnp_beats_sgc_on_cora():
     """Deep teleport propagation exceeds the reference's 81.0 golden."""
     from sgc_tpu.cli.citation import run
