@@ -136,6 +136,7 @@ def lpa_order(
     max_iter: int = 20,
     seed: int = 0,
     min_moved: float = 1e-3,
+    impl: str = "auto",
 ) -> np.ndarray:
     """Community ordering by label propagation (Raghavan et al. 2007).
 
@@ -150,15 +151,46 @@ def lpa_order(
     (scripts/exp_cluster_recovery.py): shuffled ids 0.03 → lpa ~oracle
     dense_frac, where bfs/rcm plateau near 0.33.
 
-    Vectorized synchronous sweeps: one (row, neighbor-label) count per
-    iteration via sort+unique — O(E log E) host work per sweep. Ties
-    break uniformly at random (fresh draw per sweep, deterministic under
-    ``seed``). Stops when fewer than ``min_moved`` of nodes change label.
+    Two interchangeable label solvers (both deterministic; both valid
+    LPA fixpoints, but NOT bitwise-identical to each other):
+
+    * ``native`` — asynchronous sweeps in C++ (graphprep.cpp), the
+      at-scale path (~8s for 23M edges vs ~120s sync-numpy).
+    * ``sync`` — vectorized synchronous sweeps in numpy: one
+      (row, neighbor-label) count per iteration via sort+unique,
+      O(E log E)/sweep; ties break uniformly at random (fresh draw per
+      sweep, deterministic under ``seed``). No native library needed.
+
+    ``auto`` picks native when the library is built, else sync. Stops
+    when fewer than ``min_moved`` of nodes change label in a sweep.
     """
+    from sgc_tpu import native
+
     csr = adj.tocsr()
     n = csr.shape[0]
     if n == 0:
         return np.arange(0)
+    if impl not in ("auto", "native", "sync"):
+        raise ValueError(f"unknown lpa impl {impl!r}")
+    if impl == "auto":
+        impl = "native" if native.available() else "sync"
+    if impl == "native":
+        labels, _ = native.lpa_labels(
+            csr.indptr, csr.indices, max_iter=max_iter,
+            min_moved_frac=min_moved)
+    else:
+        labels = _lpa_labels_sync(csr, max_iter, seed, min_moved)
+    # canonicalize: largest community first, ascending old id within
+    comm_ids, comm_inverse, comm_sizes = np.unique(
+        labels, return_inverse=True, return_counts=True)
+    rank = np.empty(len(comm_ids), np.int64)
+    rank[np.argsort(-comm_sizes, kind="stable")] = np.arange(len(comm_ids))
+    return np.lexsort((np.arange(n), rank[comm_inverse]))
+
+
+def _lpa_labels_sync(csr, max_iter: int, seed: int, min_moved: float):
+    """Synchronous vectorized LPA sweeps (the no-native-library path)."""
+    n = csr.shape[0]
     indptr = csr.indptr
     indices = csr.indices.astype(np.int64)
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
@@ -180,12 +212,7 @@ def lpa_order(
         labels = new
         if moved <= min_moved * n:
             break
-    # canonicalize: largest community first, ascending old id within
-    comm_ids, comm_inverse, comm_sizes = np.unique(
-        labels, return_inverse=True, return_counts=True)
-    rank = np.empty(len(comm_ids), np.int64)
-    rank[np.argsort(-comm_sizes, kind="stable")] = np.arange(len(comm_ids))
-    return np.lexsort((np.arange(n), rank[comm_inverse]))
+    return labels
 
 
 ORDERINGS = {

@@ -71,6 +71,9 @@ def _try_load():
     lib.scale_sym_norm.restype = ctypes.c_int
     lib.partition_count.argtypes = [i64p, i64, i64, i64, i64p]
     lib.partition_count.restype = ctypes.c_int
+    lib.lpa_labels.argtypes = [i64p, i64p, i64, ctypes.c_int,
+                               ctypes.c_double, i64p]
+    lib.lpa_labels.restype = ctypes.c_int
     lib.partition_fill.argtypes = [
         i64p, i64p, f32p, i64, i64, i64, i64, i32p, i32p, f32p,
     ]
@@ -206,6 +209,48 @@ def partition_edges(rows, cols, vals, n_parts: int, rows_per_part: int,
         p_cols[p, :k] = cols[sel]
         p_vals[p, :k] = vals[sel]
     return p_rows, p_cols, p_vals
+
+
+def lpa_labels(row_ptr, cols, max_iter: int = 20,
+               min_moved_frac: float = 1e-3):
+    """Asynchronous label-propagation community labels over a CSR graph.
+
+    Deterministic: nodes sweep in ascending id, each adopts its
+    neighbors' most frequent label, ties break to the smallest label.
+    Returns ``(labels int64[n], sweeps)``. The numpy twin is an exact
+    behavioral copy (same sweep order, same tie-break) but a per-node
+    Python loop — fine for tests and small graphs; the native path is
+    the at-scale one (~30x faster than even the vectorized synchronous
+    formulation in graph/reorder.py at 23M edges).
+    """
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    n = len(row_ptr) - 1
+    labels = np.arange(n, dtype=np.int64)
+    lib = _try_load()
+    if lib is not None:
+        sweeps = lib.lpa_labels(
+            _p(row_ptr, _I64P), _p(cols, _I64P), n,
+            int(max_iter), float(min_moved_frac), _p(labels, _I64P),
+        )
+        return labels, int(sweeps)
+    quota = int(min_moved_frac * n)
+    sweeps = 0
+    while sweeps < max_iter:
+        moved = 0
+        for u in range(n):
+            nb = cols[row_ptr[u]:row_ptr[u + 1]]
+            if len(nb) == 0:
+                continue
+            uniq, cnt = np.unique(labels[nb], return_counts=True)
+            best = int(uniq[np.argmax(cnt)])  # uniq sorted: tie -> smallest
+            if best != labels[u]:
+                labels[u] = best
+                moved += 1
+        sweeps += 1
+        if moved <= quota:
+            break
+    return labels, sweeps
 
 
 def edge_counts(rows, n_parts: int, rows_per_part: int):

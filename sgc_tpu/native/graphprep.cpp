@@ -182,6 +182,59 @@ int scale_sym_norm(const int64_t* rows, const int64_t* cols, float* vals,
   return 0;
 }
 
+// ----------------------------------------------------------- communities
+
+// Asynchronous label propagation (Raghavan et al. 2007) over a CSR graph:
+// sweep nodes in ascending id; each adopts the most frequent label among
+// its neighbors, ties -> smallest label. Fully deterministic (fixed sweep
+// order, no RNG) and sequential BY DESIGN: async updates converge in a
+// handful of sweeps where parallel-synchronous LPA can oscillate, and a
+// parallel-async variant would be timing-nondeterministic. labels must
+// arrive initialized (callers use identity). Stops when fewer than
+// min_moved_frac * n_nodes labels change in a sweep; returns the number
+// of sweeps executed.
+//
+// Python twin: sgc_tpu/native/__init__.py::lpa_labels (exact — same
+// order, same tie-break), consumed by graph/reorder.py::lpa_order.
+int lpa_labels(const int64_t* row_ptr, const int64_t* cols, int64_t n_nodes,
+               int max_iter, double min_moved_frac, int64_t* labels) {
+  if (n_nodes <= 0) return 0;
+  // timestamped scratch: count[l] is valid only when stamp[l] == cur,
+  // so clearing between nodes is O(1) instead of O(n)
+  std::vector<int64_t> count((size_t)n_nodes, 0);
+  std::vector<int64_t> stamp((size_t)n_nodes, -1);
+  int64_t cur = -1;
+  const int64_t quota = (int64_t)(min_moved_frac * (double)n_nodes);
+  int sweep = 0;
+  while (sweep < max_iter) {
+    int64_t moved = 0;
+    for (int64_t u = 0; u < n_nodes; ++u) {
+      ++cur;
+      int64_t best = labels[u];
+      int64_t best_count = 0;
+      for (int64_t e = row_ptr[u]; e < row_ptr[u + 1]; ++e) {
+        const int64_t l = labels[cols[e]];
+        if (stamp[l] != cur) {
+          stamp[l] = cur;
+          count[l] = 0;
+        }
+        const int64_t c = ++count[l];
+        if (c > best_count || (c == best_count && l < best)) {
+          best_count = c;
+          best = l;
+        }
+      }
+      if (best != labels[u]) {
+        labels[u] = best;
+        ++moved;
+      }
+    }
+    ++sweep;
+    if (moved <= quota) break;
+  }
+  return sweep;
+}
+
 // ----------------------------------------------------------- partitioning
 
 // Assign row-sorted edges to contiguous row blocks; writes per-part edge

@@ -189,3 +189,52 @@ def test_sort_edges_benchmark_vs_lexsort():
         f"{t_native:.2f}s vs np.lexsort(sort only) {t_lex:.2f}s "
         f"({t_lex / t_native:.1f}x)"
     )
+
+
+@requires_native
+def test_lpa_labels_native_matches_python_twin_exactly():
+    """Same sweep order + tie-break => bitwise-equal labels and sweep
+    count between the C++ path and the per-node python twin."""
+    import sgc_tpu.native as nat
+
+    rng = np.random.default_rng(11)
+    n, per = 96, 24
+    blocks = np.repeat(np.arange(n // per), per)
+    r, c = np.triu_indices(n, 1)
+    keep = rng.random(len(r)) < np.where(blocks[r] == blocks[c], 0.3, 0.02)
+    adj = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (r[keep], c[keep])),
+        shape=(n, n))
+    shuffle = rng.permutation(n)
+    csr = (adj + adj.T).tocsr()[shuffle][:, shuffle]
+
+    fast, fast_sweeps = nat.lpa_labels(csr.indptr, csr.indices)
+
+    lib = nat._lib
+    nat._lib = None
+    try:
+        slow, slow_sweeps = nat.lpa_labels(csr.indptr, csr.indices)
+    finally:
+        nat._lib = lib
+    np.testing.assert_array_equal(fast, slow)
+    assert fast_sweeps == slow_sweeps
+    assert fast_sweeps <= 20
+
+
+@requires_native
+def test_lpa_labels_recover_planted_blocks():
+    import sgc_tpu.native as nat
+
+    rng = np.random.default_rng(3)
+    n, per = 256, 64
+    blocks = np.repeat(np.arange(n // per), per)
+    r, c = np.triu_indices(n, 1)
+    keep = rng.random(len(r)) < np.where(blocks[r] == blocks[c], 0.25, 0.005)
+    adj = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (r[keep], c[keep])),
+        shape=(n, n))
+    csr = (adj + adj.T).tocsr()
+    labels, _ = nat.lpa_labels(csr.indptr, csr.indices)
+    # every planted block must collapse to ONE label
+    for b in range(n // per):
+        assert len(np.unique(labels[blocks == b])) == 1
