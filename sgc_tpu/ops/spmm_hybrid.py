@@ -179,6 +179,51 @@ def spmm_hybrid_split(
     return out
 
 
+def hybrid_device_args(split: HybridSplit) -> tuple:
+    """The split's LARGE edge arrays, as jit-argument leaves.
+
+    Closing a jit over a full-scale split bakes ~100s of MB of edge data
+    into the HLO as literals — which trips the tunneled backend's
+    remote-compile size limit (HTTP 413; docs/DESIGN.md §2b) and bloats
+    the persistent compile cache. Passing them as ARGUMENTS keeps the
+    program small and the data device-resident:
+
+        args = hybrid_device_args(split)
+        fn = jax.jit(lambda x, a: spmm_hybrid_split(
+            hybrid_bind(split, a), x))
+        y = fn(x, args)
+
+    The split's cell metadata (chunk schedule, shapes, thresholds) stays
+    concrete — only rows/cols/vals (and the sparse-remainder SparseGraph,
+    already a pytree) move to arguments.
+    """
+    import jax.numpy as _jnp
+
+    args = []
+    if split.tiled is not None:
+        args.append((_jnp.asarray(split.tiled.rows),
+                     _jnp.asarray(split.tiled.cols),
+                     _jnp.asarray(split.tiled.vals)))
+    else:
+        args.append(None)
+    args.append(split.rest)  # SparseGraph pytree or None
+    return tuple(args)
+
+
+def hybrid_bind(split: HybridSplit, args: tuple) -> HybridSplit:
+    """Rebuild the split around traced arrays (inside jit) — the inverse
+    of :func:`hybrid_device_args`. Metadata is reused concretely, so the
+    Pallas chunk schedule is still computed host-side at trace time."""
+    tiled_arrays, rest = args
+    tiled = split.tiled
+    if tiled is not None:
+        if tiled_arrays is None:
+            raise ValueError("split has a dense part but args carry none")
+        rows, cols, vals = tiled_arrays
+        tiled = dataclasses.replace(tiled, rows=rows, cols=cols, vals=vals)
+    return dataclasses.replace(split, tiled=tiled, rest=rest)
+
+
 # The split is O(E) host work; K-hop loops and repeated training calls
 # must not re-split. Same keying discipline as spmm_pallas._tile_cached.
 _SPLIT_CACHE: dict = {}

@@ -1,0 +1,80 @@
+"""LocalityPlan: reorder + dead-row + hybrid split, end-to-end exactness."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from sgc_tpu.graph.locality import LocalityPlan
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+
+
+def _clustered(seed=0, n_clusters=5, per=96, p_in=0.25, p_out=0.01):
+    rng = np.random.default_rng(seed)
+    n = n_clusters * per
+    blocks = np.repeat(np.arange(n_clusters), per)
+    r, c = np.triu_indices(n, 1)
+    same = blocks[r] == blocks[c]
+    keep = rng.random(len(r)) < np.where(same, p_in, p_out)
+    adj = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (r[keep], c[keep])),
+        shape=(n, n))
+    adj = (adj + adj.T).tocsr()
+    shuffle = rng.permutation(n)
+    adj = adj[shuffle][:, shuffle]
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj).tocoo())
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    labels = blocks[shuffle].astype(np.int32)
+    idx_train = rng.choice(n, size=n // 3, replace=False)
+    return graph, x, labels, idx_train
+
+
+def test_plan_propagation_matches_scipy_oracle_in_original_ids():
+    graph, x, labels, idx_train = _clustered()
+    s = graph.to_scipy().tocsr()
+    oracle = (s @ (s @ x))  # original numbering
+
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    got = np.asarray(plan.propagate_train(degree=2, interpret=True))
+
+    # plan rows are plan.idx_train in the NEW numbering; map to old ids
+    old_ids = plan.order[plan.idx_train]
+    np.testing.assert_allclose(got, oracle[old_ids], rtol=5e-4, atol=5e-5)
+    # labels travelled with their nodes
+    np.testing.assert_array_equal(plan.labels[plan.idx_train], labels[old_ids])
+
+
+def test_plan_discovers_density_from_shuffled_ids():
+    graph, x, labels, idx_train = _clustered(p_in=0.5, per=128, n_clusters=4)
+    plan = LocalityPlan.build(graph, x, labels, idx_train,
+                              row_block=128, stripe=128, min_fill=0.3)
+    assert plan.dense_fraction > 0.5
+    # the final-hop operator computes exactly the train rows
+    assert plan.graph_final.n_rows == len(idx_train)
+    assert set(plan.prep_seconds) == {
+        "order_s", "apply_s", "subgraph_s", "split_s"}
+
+
+def test_khop_traceable_matches_propagate_under_outer_jit():
+    """One-program form (edge data as jit arguments) must equal the
+    per-hop closure form — composed inside a caller's jit, as bench.py
+    fuses it with the training step."""
+    import jax
+
+    graph, x, labels, idx_train = _clustered(seed=5)
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+
+    khop, dev_args = plan.khop_traceable(degree=2, interpret=True)
+    fused = jax.jit(lambda xx, a: khop(xx, a) * 1.0)
+    got = np.asarray(fused(jnp.asarray(plan.features), dev_args))
+
+    want = np.asarray(plan.propagate_train(degree=2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_restore_rows_roundtrip():
+    graph, x, labels, idx_train = _clustered(seed=3)
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    restored = plan.restore_rows(plan.labels)
+    np.testing.assert_array_equal(restored, labels)
