@@ -190,7 +190,7 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
 
         n = max(int(REDDIT_NODES * scale), 1024)
         log(f"building synthetic reddit (clustered, shuffled ids): {n} nodes")
-        data = synthetic_reddit_clustered(scale, shuffle=True)
+        data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
     graph, features, labels, idx_train = data
 
     t0 = time.perf_counter()

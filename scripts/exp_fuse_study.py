@@ -32,7 +32,7 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
-    data = synthetic_reddit_clustered(scale, shuffle=True)
+    data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
     plan = LocalityPlan.build(*data)
     print("prep done", flush=True)
 
@@ -80,6 +80,17 @@ def main():
     timeit("split: hops prog + lbfgs", split_pipeline)
     timeit("fused one program",
            lambda: fused(x, dev_args, p0, labels_train, wd, cw))
+
+    # bf16 MXU kernel for the dense part (DESIGN §2c: ~3x the f32 kernel,
+    # identical rel-err because the MXU rounds f32 operands to bf16 anyway)
+    khop16, _ = plan.khop_traceable(degree=2, interpret=False,
+                                    precision="bf16")
+    hops16 = jax.jit(khop16)
+    tr16 = timeit("hops bf16 (one program)", lambda: hops16(x, dev_args))
+    a = np.asarray(tr)
+    b = np.asarray(tr16)
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+    print(f"bf16 vs f32 hops rel-err: {rel:.3e}", flush=True)
 
 
 if __name__ == "__main__":

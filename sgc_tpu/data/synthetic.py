@@ -53,6 +53,7 @@ def synthetic_reddit_clustered(
     communities: int = 50,
     intra: float = 0.85,
     shuffle: bool = False,
+    device: bool = True,
 ):
     """Reddit-dimension synthetic with community structure.
 
@@ -119,5 +120,8 @@ def synthetic_reddit_clustered(
         (np.ones(m, dtype=np.float32), (src, dst)), shape=(n, n)
     )
     adj = adj + adj.T
-    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj))
+    # device=False keeps the graph host-resident — the locality pipeline
+    # (LocalityPlan.build) consumes it host-side anyway
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj),
+                                   device=device)
     return graph, features, labels, idx_train

@@ -89,7 +89,11 @@ class LocalityPlan:
         adj_p, features_p, labels_p = apply_order(
             adj, order, np.asarray(features), np.asarray(labels))
         idx_p = np.sort(remap_indices(order, np.asarray(idx_train)))
-        graph_p = SparseGraph.from_scipy(adj_p.tocoo())
+        # host-resident: every consumer below is host-side (row_subgraph,
+        # tiling, cost-model split); device placement happens once in
+        # hybrid_device_args. Eager placement here would round-trip the
+        # edge arrays over the tunneled backend (~10x slower build).
+        graph_p = SparseGraph.from_scipy(adj_p.tocoo(), device=False)
         t["apply_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

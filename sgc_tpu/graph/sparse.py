@@ -83,12 +83,23 @@ class SparseGraph:
         n_rows: int,
         n_cols: int,
         pad_multiple: int = EDGE_PAD_MULTIPLE,
+        device: bool = True,
     ) -> "SparseGraph":
         """Build from host COO arrays; sorts by (row, col) and pads.
 
         Sorting and CSR construction go through the native C++ library
         (sgc_tpu/native) when built — a parallel radix sort that is the
         host-side hot path at 10M+ edges — with numpy fallbacks otherwise.
+
+        ``device=False`` keeps the edge arrays as NUMPY (host-resident):
+        identical semantics everywhere (numpy leaves trace fine in jit),
+        but construction does no device transfer. Use it for graphs that
+        feed HOST pipelines (reordering, tiling, cost-model splits —
+        graph/locality.py), where an eager placement would round-trip
+        100+ MB over the tunneled backend per intermediate graph
+        (measured: LocalityPlan.build 209 s with device puts vs 22 s
+        host-only at Reddit scale). Device placement then happens once,
+        explicitly (jax.device_put / ops.spmm_hybrid.hybrid_device_args).
         """
         from sgc_tpu import native
 
@@ -111,22 +122,25 @@ class SparseGraph:
             cols = np.concatenate([cols, np.full(pad, max(n_cols - 1, 0))])
             vals = np.concatenate([vals, np.zeros(pad, dtype=np.float32)])
 
+        as_arr = jnp.asarray if device else np.asarray
         return SparseGraph(
-            rows=jnp.asarray(rows, dtype=jnp.int32),
-            cols=jnp.asarray(cols, dtype=jnp.int32),
-            vals=jnp.asarray(vals, dtype=jnp.float32),
-            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            rows=as_arr(rows, dtype=np.int32),
+            cols=as_arr(cols, dtype=np.int32),
+            vals=as_arr(vals, dtype=np.float32),
+            row_ptr=as_arr(row_ptr, dtype=np.int32),
             n_rows=int(n_rows),
             n_cols=int(n_cols),
             nnz=nnz,
         )
 
     @staticmethod
-    def from_scipy(mat, pad_multiple: int = EDGE_PAD_MULTIPLE) -> "SparseGraph":
-        """Build from any scipy.sparse matrix."""
+    def from_scipy(mat, pad_multiple: int = EDGE_PAD_MULTIPLE,
+                   device: bool = True) -> "SparseGraph":
+        """Build from any scipy.sparse matrix (``device`` as in from_coo)."""
         coo = mat.tocoo()
         return SparseGraph.from_coo(
-            coo.row, coo.col, coo.data, coo.shape[0], coo.shape[1], pad_multiple
+            coo.row, coo.col, coo.data, coo.shape[0], coo.shape[1],
+            pad_multiple, device=device,
         )
 
     # ------------------------------------------------------------- convert
@@ -160,6 +174,9 @@ class SparseGraph:
         dead-row-elimination lever for pipelines that slice SpMM output
         (e.g. the final hop of sgc_precompute feeding only train rows —
         reference reddit.py:44-47 trains on a row subset).
+
+        Placement follows the input: a host-resident graph (``from_coo
+        device=False``) yields a host-resident subgraph.
         """
         row_indices = np.asarray(row_indices, dtype=np.int64)
         if len(np.unique(row_indices)) != len(row_indices):
@@ -182,6 +199,7 @@ class SparseGraph:
             np.asarray(self.vals)[: self.nnz][keep],
             len(row_indices),
             self.n_cols,
+            device=not isinstance(self.rows, np.ndarray),
         )
 
     # --------------------------------------------------------------- utils

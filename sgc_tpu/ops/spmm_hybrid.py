@@ -125,9 +125,13 @@ def split_dense_cells(
     tiled = None
     pad = 1.0
     if n_dense:
+        # host-resident intermediates: tile_graph consumes numpy, and the
+        # split's arrays reach the device via hybrid_device_args (or as
+        # traced constants when closed over) — eager placement here costs
+        # two tunnel round-trips per split at scale.
         dense_graph = SparseGraph.from_coo(
             rows[dense_mask], cols[dense_mask], vals[dense_mask],
-            n_rows=graph.n_rows, n_cols=graph.n_cols,
+            n_rows=graph.n_rows, n_cols=graph.n_cols, device=False,
         )
         tiled = tile_graph(dense_graph, row_block, stripe, chunk)
         pad = tiled.rows.shape[0] / n_dense
@@ -135,7 +139,7 @@ def split_dense_cells(
     if n_sparse:
         rest = SparseGraph.from_coo(
             rows[~dense_mask], cols[~dense_mask], vals[~dense_mask],
-            n_rows=graph.n_rows, n_cols=graph.n_cols,
+            n_rows=graph.n_rows, n_cols=graph.n_cols, device=False,
         )
     return HybridSplit(
         tiled=tiled, rest=rest, n_rows=graph.n_rows, n_cols=graph.n_cols,
@@ -197,16 +201,20 @@ def hybrid_device_args(split: HybridSplit) -> tuple:
     concrete — only rows/cols/vals (and the sparse-remainder SparseGraph,
     already a pytree) move to arguments.
     """
-    import jax.numpy as _jnp
+    import jax
 
     args = []
     if split.tiled is not None:
-        args.append((_jnp.asarray(split.tiled.rows),
-                     _jnp.asarray(split.tiled.cols),
-                     _jnp.asarray(split.tiled.vals)))
+        args.append((jnp.asarray(split.tiled.rows),
+                     jnp.asarray(split.tiled.cols),
+                     jnp.asarray(split.tiled.vals)))
     else:
         args.append(None)
-    args.append(split.rest)  # SparseGraph pytree or None
+    # place the remainder graph explicitly: split_dense_cells builds it
+    # host-resident, and numpy leaves passed as jit arguments would be
+    # re-transferred on EVERY call
+    rest = split.rest
+    args.append(jax.device_put(rest) if rest is not None else None)
     return tuple(args)
 
 

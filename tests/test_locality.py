@@ -73,6 +73,33 @@ def test_khop_traceable_matches_propagate_under_outer_jit():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_plan_build_is_host_resident():
+    """LocalityPlan.build must never touch the device: intermediate
+    SparseGraphs stay numpy (over the tunneled TPU backend an eager
+    placement costs ~10x the whole build — docs/DESIGN.md §2d), and
+    hybrid_device_args is the single explicit placement point."""
+    import jax
+
+    from sgc_tpu.ops.spmm_hybrid import hybrid_device_args
+
+    graph, x, labels, idx_train = _clustered(seed=7)
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+
+    for g in (plan.graph, plan.graph_final):
+        for leaf in (g.rows, g.cols, g.vals, g.row_ptr):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+    for split in (plan.split_main, plan.split_final):
+        if split.tiled is not None:
+            assert isinstance(split.tiled.rows, np.ndarray)
+        if split.rest is not None:
+            assert isinstance(split.rest.rows, np.ndarray)
+
+    # ... and placement happens exactly at hybrid_device_args
+    args = hybrid_device_args(plan.split_main)
+    leaves = [l for l in jax.tree_util.tree_leaves(args)]
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
 def test_restore_rows_roundtrip():
     graph, x, labels, idx_train = _clustered(seed=3)
     plan = LocalityPlan.build(graph, x, labels, idx_train)
