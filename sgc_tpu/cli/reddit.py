@@ -36,11 +36,23 @@ def run(
     seed: int = 42,
     data_path: str | None = None,
     sharded: bool = False,
+    locality: bool = False,
 ) -> dict:
     key = set_seed(seed)
     data = load_reddit(normalization, data_path)
 
-    if sharded:
+    if locality and sharded:
+        raise ValueError("--locality applies to the single-device path "
+                         "(the sharded path partitions by node range)")
+    if locality:
+        # Community-locality pipeline (graph/locality.py): LPA reorder +
+        # cost-model MXU/XLA hybrid hops — the bench.py headline path,
+        # as a user-facing flag. Host prep (untimed, like the loader's
+        # scipy normalization) is reported in the result dict.
+        feats_eval, feats_train, t_full, t_train_pre, prep_s = (
+            _locality_propagate(data, degree, inductive)
+        )
+    elif sharded:
         # Multi-device propagation: both adjacencies partitioned over the
         # mesh, boundary features exchanged per hop (parallel/inductive.py).
         feats_eval, feats_train, t_full = _sharded_propagate(
@@ -74,13 +86,67 @@ def run(
     micro, macro = f1(logits, data.labels[jnp.asarray(split)])
 
     precompute_time = t_full + t_train_pre
-    return {
+    out = {
         "f1_micro": micro,
         "f1_macro": macro,
         "precompute_time": precompute_time,
         "train_time": train_time,
         "total_time": precompute_time + train_time,
     }
+    if locality:
+        out["host_prep_time"] = prep_s
+    return out
+
+
+def _locality_propagate(data, degree: int, inductive: bool):
+    """Community-locality propagation (graph/locality.py).
+
+    Eval features from the full graph, train features from the train
+    sub-adjacency (inductive; reference reddit.py:43-45) — each through
+    its own LocalityPlan (LPA reorder + hybrid MXU/XLA split), with rows
+    restored to the loader's numbering. Timer covers warm device
+    execution (sgc_precompute's contract); plan builds are host prep.
+    """
+    from time import perf_counter
+
+    import numpy as np
+
+    from sgc_tpu.graph.locality import LocalityPlan
+    from sgc_tpu.utils.profiling import sync
+
+    idx_train = np.asarray(data.idx_train)
+
+    t0 = perf_counter()
+    plan_full = LocalityPlan.build(
+        data.graph, np.asarray(data.features), np.asarray(data.labels),
+        idx_train,
+    )
+    prep_s = perf_counter() - t0
+
+    sync(plan_full.propagate_all(degree))  # warm (compile excluded)
+    t0 = perf_counter()
+    feats_eval = plan_full.propagate_all(degree)
+    sync(feats_eval)
+    t_full = perf_counter() - t0
+
+    if inductive:
+        train_in = np.asarray(data.features)[idx_train]
+        t0 = perf_counter()
+        plan_train = LocalityPlan.build(
+            data.train_graph, train_in,
+            np.asarray(data.labels)[idx_train],
+            np.arange(len(idx_train)),
+        )
+        prep_s += perf_counter() - t0
+        sync(plan_train.propagate_all(degree))
+        t0 = perf_counter()
+        feats_train = plan_train.propagate_all(degree)
+        sync(feats_train)
+        t_train_pre = perf_counter() - t0
+    else:
+        feats_train = feats_eval[jnp.asarray(idx_train)]
+        t_train_pre = 0.0
+    return feats_eval, feats_train, t_full, t_train_pre, prep_s
 
 
 def _sharded_propagate(data, degree: int, inductive: bool):
@@ -138,6 +204,9 @@ def main() -> None:
     parser.add_argument("--inductive", action="store_true")
     parser.add_argument("--sharded", action="store_true",
                         help="partition both adjacencies over all devices")
+    parser.add_argument("--locality", action="store_true",
+                        help="LPA community reorder + hybrid MXU/XLA "
+                             "propagation (single device)")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--degree", type=int, default=2)
@@ -151,6 +220,7 @@ def main() -> None:
     res = run(
         inductive=args.inductive,
         sharded=args.sharded,
+        locality=args.locality,
         test=args.test,
         degree=args.degree,
         epochs=args.epochs,

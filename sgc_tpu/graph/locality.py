@@ -184,6 +184,35 @@ class LocalityPlan:
             x = full(x)
         return final(x)
 
+    def propagate_all(
+        self,
+        degree: int = 2,
+        features: jnp.ndarray | None = None,
+        precision: str = "f32",
+        interpret: bool | None = None,
+        restore: bool = True,
+    ) -> jnp.ndarray:
+        """``S^degree X`` for ALL rows through the hybrid full-hop
+        operator — the eval-features form (reference reddit.py:43
+        propagates the full graph for eval rows).
+
+        With ``restore=True`` (default) rows come back in the ORIGINAL
+        node numbering, so callers can mix this with un-reordered
+        indices/labels transparently.
+        """
+        if degree < 1:
+            raise ValueError("degree must be >= 1")
+        full, _ = self.hop_fns(precision=precision, interpret=interpret)
+        x = jnp.asarray(features if features is not None else self.features)
+        for _ in range(degree):
+            x = full(x)
+        if restore:
+            # x[p] holds node order[p]; out[old] = x[inv[old]]
+            inv = np.empty(len(self.order), np.int64)
+            inv[self.order] = np.arange(len(self.order))
+            x = jnp.take(x, jnp.asarray(inv), axis=0)
+        return x
+
     # --------------------------------------------------------------- utils
 
     def restore_rows(self, per_node: np.ndarray) -> np.ndarray:

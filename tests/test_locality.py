@@ -100,6 +100,22 @@ def test_plan_build_is_host_resident():
     assert leaves and all(isinstance(l, jax.Array) for l in leaves)
 
 
+def test_propagate_all_matches_scipy_in_original_order():
+    graph, x, labels, idx_train = _clustered(seed=9)
+    s = graph.to_scipy().tocsr()
+    oracle = s @ (s @ x)
+
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    got = np.asarray(plan.propagate_all(degree=2, interpret=True))
+    np.testing.assert_allclose(got, oracle, rtol=5e-4, atol=5e-5)
+
+    # restore=False leaves rows in the plan's (reordered) numbering
+    raw = np.asarray(plan.propagate_all(degree=2, interpret=True,
+                                        restore=False))
+    np.testing.assert_allclose(raw, oracle[plan.order], rtol=5e-4,
+                               atol=5e-5)
+
+
 def test_restore_rows_roundtrip():
     graph, x, labels, idx_train = _clustered(seed=3)
     plan = LocalityPlan.build(graph, x, labels, idx_train)

@@ -116,3 +116,32 @@ def test_reddit_cli_transductive_on_fixture(reddit_fixture):
     res = run(inductive=False, test=False, degree=2, epochs=2,
               data_path=str(root))
     assert res["f1_micro"] > 0.9, f"fixture pipeline failed: {res}"
+
+
+def test_reddit_cli_locality_matches_plain_path(reddit_fixture):
+    """--locality (LPA reorder + hybrid hops) must reproduce the plain
+    path's features bit-for-bit in MEANING: same eval F1 to f32 noise,
+    both inductive and transductive."""
+    from sgc_tpu.cli.reddit import run
+
+    root, *_ = reddit_fixture
+    for inductive in (True, False):
+        plain = run(inductive=inductive, test=True, degree=2, epochs=2,
+                    data_path=str(root))
+        loc = run(inductive=inductive, test=True, degree=2, epochs=2,
+                  data_path=str(root), locality=True)
+        assert "host_prep_time" in loc
+        assert abs(loc["f1_micro"] - plain["f1_micro"]) < 5e-3, (
+            f"inductive={inductive}: locality {loc['f1_micro']} vs "
+            f"plain {plain['f1_micro']}"
+        )
+
+
+def test_reddit_cli_locality_rejects_sharded(reddit_fixture):
+    import pytest
+
+    from sgc_tpu.cli.reddit import run
+
+    root, *_ = reddit_fixture
+    with pytest.raises(ValueError, match="locality"):
+        run(data_path=str(root), locality=True, sharded=True)
