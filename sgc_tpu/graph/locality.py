@@ -93,7 +93,8 @@ class LocalityPlan:
         # tiling, cost-model split); device placement happens once in
         # hybrid_device_args. Eager placement here would round-trip the
         # edge arrays over the tunneled backend (~10x slower build).
-        graph_p = SparseGraph.from_scipy(adj_p.tocoo(), device=False)
+        adj_p.sort_indices()  # enables from_scipy's presorted fast path
+        graph_p = SparseGraph.from_scipy(adj_p, device=False)
         t["apply_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -84,8 +84,15 @@ class SparseGraph:
         n_cols: int,
         pad_multiple: int = EDGE_PAD_MULTIPLE,
         device: bool = True,
+        presorted: bool = False,
     ) -> "SparseGraph":
         """Build from host COO arrays; sorts by (row, col) and pads.
+
+        ``presorted=True`` skips the sort for inputs already in
+        (row, col) order — subsets of an existing SparseGraph, csr
+        ``.tocoo()`` with sorted indices — after an O(E) vectorized
+        monotonicity check (raises on violation rather than silently
+        mis-building row_ptr).
 
         Sorting and CSR construction go through the native C++ library
         (sgc_tpu/native) when built — a parallel radix sort that is the
@@ -108,7 +115,23 @@ class SparseGraph:
                 f"{len(rows)} edges overflow int32 device offsets; enable "
                 "jax_enable_x64 and widen SparseGraph dtypes for >2B edges"
             )
-        rows, cols, vals = native.sort_edges(rows, cols, vals, n_rows, n_cols)
+        if presorted:
+            rows = np.ascontiguousarray(rows, dtype=np.int64)
+            cols = np.ascontiguousarray(cols, dtype=np.int64)
+            vals = np.ascontiguousarray(vals, dtype=np.float32)
+            # single composite-key pass: ids are < 2^31 (int32 device
+            # buffers), so row<<32|col is exact
+            if n_cols > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"n_cols {n_cols} overflows int32 device indices")
+            key = (rows << 32) | cols
+            if len(key) and (key[1:] < key[:-1]).any():
+                raise ValueError(
+                    "presorted=True but edges are not (row, col)-sorted"
+                )
+        else:
+            rows, cols, vals = native.sort_edges(
+                rows, cols, vals, n_rows, n_cols)
         nnz = int(rows.shape[0])
         row_ptr = native.row_ptr_from_sorted(rows, n_rows).astype(np.int32)
 
@@ -136,11 +159,22 @@ class SparseGraph:
     @staticmethod
     def from_scipy(mat, pad_multiple: int = EDGE_PAD_MULTIPLE,
                    device: bool = True) -> "SparseGraph":
-        """Build from any scipy.sparse matrix (``device`` as in from_coo)."""
+        """Build from any scipy.sparse matrix (``device`` as in from_coo).
+
+        A CSR input with sorted indices converts via the presorted fast
+        path (its ``.tocoo()`` is already (row, col)-ordered); anything
+        else goes through the native radix sort.
+        """
+        import scipy.sparse as sp
+
+        presorted = bool(
+            sp.issparse(mat) and mat.format == "csr"
+            and mat.has_sorted_indices
+        )
         coo = mat.tocoo()
         return SparseGraph.from_coo(
             coo.row, coo.col, coo.data, coo.shape[0], coo.shape[1],
-            pad_multiple, device=device,
+            pad_multiple, device=device, presorted=presorted,
         )
 
     # ------------------------------------------------------------- convert
@@ -193,6 +227,9 @@ class SparseGraph:
         lookup[row_indices] = np.arange(len(row_indices))
         rows = np.asarray(self.rows)[: self.nnz]
         keep = lookup[rows] >= 0
+        # a subset of this graph's (row, col)-sorted edges stays sorted
+        # when the row renumbering is monotone (ascending row_indices)
+        ascending = bool(np.all(np.diff(row_indices) > 0))
         return SparseGraph.from_coo(
             lookup[rows[keep]],
             np.asarray(self.cols)[: self.nnz][keep],
@@ -200,6 +237,7 @@ class SparseGraph:
             len(row_indices),
             self.n_cols,
             device=not isinstance(self.rows, np.ndarray),
+            presorted=ascending,
         )
 
     # --------------------------------------------------------------- utils

@@ -74,6 +74,9 @@ def _try_load():
     lib.lpa_labels.argtypes = [i64p, i64p, i64, ctypes.c_int,
                                ctypes.c_double, i64p]
     lib.lpa_labels.restype = ctypes.c_int
+    lib.tile_fill.argtypes = [i64p, i64p, f32p, i64, i64p, i64p, i64p,
+                              i64, i64, i64, i64, i64, i32p, i32p, f32p]
+    lib.tile_fill.restype = ctypes.c_int
     lib.partition_fill.argtypes = [
         i64p, i64p, f32p, i64, i64, i64, i64, i32p, i32p, f32p,
     ]
@@ -251,6 +254,37 @@ def lpa_labels(row_ptr, cols, max_iter: int = 20,
         if moved <= quota:
             break
     return labels, sweeps
+
+
+def tile_fill(rows, cols, vals, cell, cell_start, counts, chunk: int,
+              n_st: int, row_block: int, stripe: int, total_chunks: int):
+    """Scatter (row,col)-sorted edges into the padded per-cell chunk
+    layout (counting sort by ``cell``; stable, so within-cell order is
+    the input's). Returns ``(r_out int32, c_out int32, v_out f32)`` of
+    length ``total_chunks * chunk``; padding slots carry the cell's base
+    (row, col) and val 0. Returns None when the library isn't built —
+    callers fall back to the numpy lexsort+scatter twin
+    (ops/spmm_pallas.py tile_graph)."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    cell = np.ascontiguousarray(cell, dtype=np.int64)
+    cell_start = np.ascontiguousarray(cell_start, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n_out = int(total_chunks) * int(chunk)
+    r_out = np.zeros(n_out, np.int32)
+    c_out = np.zeros(n_out, np.int32)
+    v_out = np.zeros(n_out, np.float32)
+    lib.tile_fill(
+        _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P), len(rows),
+        _p(cell, _I64P), _p(cell_start, _I64P), _p(counts, _I64P),
+        len(counts), int(chunk), int(n_st), int(row_block), int(stripe),
+        _p(r_out, _I32P), _p(c_out, _I32P), _p(v_out, _F32P),
+    )
+    return r_out, c_out, v_out
 
 
 def edge_counts(rows, n_parts: int, rows_per_part: int):

@@ -235,6 +235,48 @@ int lpa_labels(const int64_t* row_ptr, const int64_t* cols, int64_t n_nodes,
   return sweep;
 }
 
+// ------------------------------------------------------------- cell tiling
+
+// Counting-sort edges into the padded per-cell chunk layout consumed by
+// the Pallas SpMM kernel (ops/spmm_pallas.py tile_graph). Edges arrive in
+// (row, col)-sorted order (the SparseGraph invariant); the stable bucket
+// walk therefore produces the (cell, row, col) order of the numpy
+// lexsort twin — bitwise-identical layout, O(E + cells) instead of
+// O(E log E). Padding slots get the cell's base (row, col) with val 0
+// (in-range no-ops, same convention as the twin).
+//
+// cell_start is in CHUNK units; counts is the per-cell true edge count.
+// Outputs must be pre-zeroed sized total_chunks * chunk.
+int tile_fill(const int64_t* rows, const int64_t* cols, const float* vals,
+              int64_t n_edges, const int64_t* cell,
+              const int64_t* cell_start, const int64_t* counts,
+              int64_t n_cells, int64_t chunk, int64_t n_st,
+              int64_t row_block, int64_t stripe,
+              int32_t* r_out, int32_t* c_out, float* v_out) {
+  if (n_cells <= 0) return 0;
+  std::vector<int64_t> fill((size_t)n_cells, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    const int64_t c = cell[i];
+    const int64_t dst = cell_start[c] * chunk + fill[c]++;
+    r_out[dst] = (int32_t)rows[i];
+    c_out[dst] = (int32_t)cols[i];
+    v_out[dst] = vals[i];
+  }
+  for (int64_t c = 0; c < n_cells; ++c) {
+    const int64_t n_pad_slots =
+        ((counts[c] + chunk - 1) / chunk) * chunk;  // cell's padded size
+    const int32_t pr = (int32_t)((c / n_st) * row_block);
+    const int32_t pc = (int32_t)((c % n_st) * stripe);
+    const int64_t base = cell_start[c] * chunk;
+    for (int64_t s = counts[c]; s < n_pad_slots; ++s) {
+      r_out[base + s] = pr;
+      c_out[base + s] = pc;
+      // v_out already zero
+    }
+  }
+  return 0;
+}
+
 // ----------------------------------------------------------- partitioning
 
 // Assign row-sorted edges to contiguous row blocks; writes per-part edge

@@ -132,6 +132,7 @@ def split_dense_cells(
         dense_graph = SparseGraph.from_coo(
             rows[dense_mask], cols[dense_mask], vals[dense_mask],
             n_rows=graph.n_rows, n_cols=graph.n_cols, device=False,
+            presorted=True,  # mask subset of the graph's sorted edges
         )
         tiled = tile_graph(dense_graph, row_block, stripe, chunk)
         pad = tiled.rows.shape[0] / n_dense
@@ -140,6 +141,7 @@ def split_dense_cells(
         rest = SparseGraph.from_coo(
             rows[~dense_mask], cols[~dense_mask], vals[~dense_mask],
             n_rows=graph.n_rows, n_cols=graph.n_cols, device=False,
+            presorted=True,
         )
     return HybridSplit(
         tiled=tiled, rest=rest, n_rows=graph.n_rows, n_cols=graph.n_cols,

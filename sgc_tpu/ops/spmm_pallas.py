@@ -112,41 +112,53 @@ def tile_graph(
     n_st = -(-graph.n_cols // stripe)
 
     cell = (rows // row_block) * n_st + (cols // stripe)
-    order = np.lexsort((rows, cell))
-    rows, cols, vals, cell = rows[order], cols[order], vals[order], cell[order]
-
     counts = np.bincount(cell, minlength=n_rb * n_st)
     nchunks = -(-counts // chunk)  # ceil; 0 for empty cells
     out_chunks = int(nchunks.sum())
-
-    r_out = np.zeros(out_chunks * chunk, np.int32)
-    c_out = np.zeros(out_chunks * chunk, np.int32)
-    v_out = np.zeros(out_chunks * chunk, np.float32)
-
-    cell_start = np.zeros(n_rb * n_st, np.int32)
+    cell_start = np.zeros(n_rb * n_st, np.int64)
     np.cumsum(nchunks[:-1], out=cell_start[1:])
 
-    # scatter each cell's edges into its padded slot (vectorized over edges)
-    in_cell_pos = np.arange(len(rows)) - np.concatenate(
-        ([0], np.cumsum(counts)))[cell]
-    dst = cell_start[cell].astype(np.int64) * chunk + in_cell_pos
-    r_out[dst] = rows
-    c_out[dst] = cols
-    v_out[dst] = vals
+    from sgc_tpu import native
 
-    # padding edges: clamp indices into the cell so local offsets stay
-    # in-range (val 0 makes them no-ops)
-    pad_mask = np.ones(out_chunks * chunk, bool)
-    pad_mask[dst] = False
-    if pad_mask.any():
-        pad_cell = np.repeat(
-            np.arange(n_rb * n_st), nchunks * chunk)[pad_mask]
-        r_out[pad_mask] = (pad_cell // n_st) * row_block
-        c_out[pad_mask] = (pad_cell % n_st) * stripe
+    filled = native.tile_fill(
+        rows, cols, vals, cell, cell_start, counts, chunk, n_st,
+        row_block, stripe, out_chunks,
+    )
+    if filled is not None:
+        # native counting sort: edges arrive (row, col)-sorted (the
+        # SparseGraph invariant), the stable bucket walk yields the same
+        # (cell, row, col) layout as the numpy twin below, bitwise
+        r_out, c_out, v_out = filled
+    else:
+        order = np.lexsort((rows, cell))
+        rows, cols, vals, cl = (rows[order], cols[order], vals[order],
+                                cell[order])
+
+        r_out = np.zeros(out_chunks * chunk, np.int32)
+        c_out = np.zeros(out_chunks * chunk, np.int32)
+        v_out = np.zeros(out_chunks * chunk, np.float32)
+
+        # scatter each cell's edges into its padded slot (vectorized)
+        in_cell_pos = np.arange(len(rows)) - np.concatenate(
+            ([0], np.cumsum(counts)))[cl]
+        dst = cell_start[cl] * chunk + in_cell_pos
+        r_out[dst] = rows
+        c_out[dst] = cols
+        v_out[dst] = vals
+
+        # padding edges: clamp indices into the cell so local offsets
+        # stay in-range (val 0 makes them no-ops)
+        pad_mask = np.ones(out_chunks * chunk, bool)
+        pad_mask[dst] = False
+        if pad_mask.any():
+            pad_cell = np.repeat(
+                np.arange(n_rb * n_st), nchunks * chunk)[pad_mask]
+            r_out[pad_mask] = (pad_cell // n_st) * row_block
+            c_out[pad_mask] = (pad_cell % n_st) * stripe
 
     return TiledGraph(
         rows=r_out, cols=c_out, vals=v_out,
-        cell_start=cell_start.reshape(n_rb, n_st),
+        cell_start=cell_start.astype(np.int32).reshape(n_rb, n_st),
         cell_nchunks=nchunks.astype(np.int32).reshape(n_rb, n_st),
         n_rows=graph.n_rows, n_cols=graph.n_cols,
         row_block=row_block, stripe=stripe, chunk=chunk,

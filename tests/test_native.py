@@ -238,3 +238,33 @@ def test_lpa_labels_recover_planted_blocks():
     # every planted block must collapse to ONE label
     for b in range(n // per):
         assert len(np.unique(labels[blocks == b])) == 1
+
+
+@requires_native
+def test_tile_fill_matches_numpy_twin_bitwise():
+    """Native counting-sort tiler must reproduce the lexsort+scatter
+    layout EXACTLY (same within-cell order, same padding slots)."""
+    import sgc_tpu.native as nat
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm_pallas import tile_graph
+
+    rng = np.random.default_rng(17)
+    n, e = 700, 6000
+    r = rng.integers(0, n, e)
+    c = rng.integers(0, n, e)
+    v = rng.standard_normal(e).astype(np.float32)
+    graph = SparseGraph.from_coo(r, c, v, n, n, device=False)
+
+    fast = tile_graph(graph, 128, 128, 1024)
+
+    lib = nat._lib
+    nat._lib = None
+    try:
+        slow = tile_graph(graph, 128, 128, 1024)
+    finally:
+        nat._lib = lib
+    np.testing.assert_array_equal(fast.rows, slow.rows)
+    np.testing.assert_array_equal(fast.cols, slow.cols)
+    np.testing.assert_array_equal(fast.vals, slow.vals)
+    np.testing.assert_array_equal(fast.cell_start, slow.cell_start)
+    np.testing.assert_array_equal(fast.cell_nchunks, slow.cell_nchunks)

@@ -241,3 +241,42 @@ def test_row_subgraph_bitwise_identical_reduction():
     full = np.asarray(spmm(g, x, impl="segment"))[idx]
     sub = np.asarray(spmm(g.row_subgraph(idx), x, impl="segment"))
     np.testing.assert_array_equal(sub, full)  # exact, not allclose
+
+
+def test_from_coo_presorted_matches_sorted_build():
+    import numpy as np
+
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    rng = np.random.default_rng(4)
+    r = np.sort(rng.integers(0, 50, 300))
+    # make (row, col) lexicographically sorted
+    c = rng.integers(0, 50, 300)
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    v = rng.standard_normal(300).astype(np.float32)
+
+    a = SparseGraph.from_coo(r, c, v, 50, 50, device=False)
+    b = SparseGraph.from_coo(r, c, v, 50, 50, device=False, presorted=True)
+    np.testing.assert_array_equal(np.asarray(a.rows), np.asarray(b.rows))
+    np.testing.assert_array_equal(np.asarray(a.cols), np.asarray(b.cols))
+    np.testing.assert_array_equal(np.asarray(a.vals), np.asarray(b.vals))
+    np.testing.assert_array_equal(np.asarray(a.row_ptr),
+                                  np.asarray(b.row_ptr))
+
+
+def test_from_coo_presorted_rejects_unsorted():
+    import numpy as np
+    import pytest
+
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    with pytest.raises(ValueError, match="presorted"):
+        SparseGraph.from_coo(
+            np.array([1, 0]), np.array([0, 0]),
+            np.ones(2, np.float32), 2, 2, presorted=True)
+    # row ties with descending cols must also be caught
+    with pytest.raises(ValueError, match="presorted"):
+        SparseGraph.from_coo(
+            np.array([0, 0]), np.array([1, 0]),
+            np.ones(2, np.float32), 2, 2, presorted=True)
