@@ -86,13 +86,15 @@ def fit_sharded(
     n_feat_parts = mesh.shape[FEAT_AXIS]
 
     pgraph = partition_graph(graph, n_parts)
+    # overlap=True: interior/boundary edge split so XLA hides the
+    # all_to_all behind the interior segment-sum (halo.py)
     if use_halo is None:
-        halo = build_halo(pgraph)
+        halo = build_halo(pgraph, overlap=True)
         frac = halo_fraction(halo, pgraph)
         if frac >= 0.5:
             halo = None
     else:
-        halo = build_halo(pgraph) if use_halo else None
+        halo = build_halo(pgraph, overlap=True) if use_halo else None
         frac = halo_fraction(halo, pgraph) if halo is not None else 1.0
 
     x = jnp.asarray(np.asarray(features, np.float32))

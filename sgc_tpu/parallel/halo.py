@@ -40,7 +40,7 @@ HALO_PAD = 8
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("send_idx", "cols_halo"),
+    data_fields=("send_idx", "cols_halo", "edges_int", "edges_bnd"),
     meta_fields=("halo_width", "n_parts"),
 )
 @dataclasses.dataclass(frozen=True)
@@ -52,15 +52,31 @@ class HaloDescriptor:
                referenced by any edge).
     cols_halo: int32[P, E_max] — edge columns remapped to halo-buffer
                positions (src_part * H + slot).
+    edges_int / edges_bnd: optional (rows, cols, vals) triples from
+               ``build_halo(overlap=True)`` — the per-part edge list
+               split into INTERIOR edges (cols index x_local) and
+               BOUNDARY edges (cols index the halo buffer). With the
+               split, the hop's interior segment-sum has no data
+               dependence on the ``all_to_all``, so XLA's async
+               collectives hide the ICI exchange behind local compute
+               (SURVEY §7 hard-part 2: "hiding all-to-all latency
+               behind local SpMM").
     """
 
     send_idx: jnp.ndarray
     cols_halo: jnp.ndarray
     halo_width: int
     n_parts: int
+    edges_int: tuple | None = None
+    edges_bnd: tuple | None = None
+
+    @property
+    def overlapped(self) -> bool:
+        return self.edges_int is not None
 
 
-def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
+def build_halo(pgraph: PartitionedGraph,
+               overlap: bool = False) -> HaloDescriptor:
     """Compute the exchange plan from a partitioned graph (host-side).
 
     Locally-owned columns never enter the exchange: the device-side gather
@@ -142,12 +158,61 @@ def build_halo(pgraph: PartitionedGraph) -> HaloDescriptor:
     mapped[remote] = remote_map
     cols_halo = mapped.reshape(P, e_max)
 
+    edges_int = edges_bnd = None
+    if overlap:
+        edges_int, edges_bnd = _split_interior_boundary(
+            pgraph, cols_halo, R)
+
     return HaloDescriptor(
         send_idx=jnp.asarray(send_idx),
         cols_halo=jnp.asarray(cols_halo),
         halo_width=H,
         n_parts=P,
+        edges_int=edges_int,
+        edges_bnd=edges_bnd,
     )
+
+
+def _split_interior_boundary(pgraph: PartitionedGraph,
+                             cols_halo: np.ndarray, R: int):
+    """Split each part's edges into interior (column < R: reads x_local)
+    and boundary (column >= R: reads the halo buffer, re-based to 0).
+
+    Both lists are padded per part to a common width (multiple of
+    HALO_PAD) with no-op edges (val 0, row R-1, col 0) — the convention
+    used everywhere for static shapes. Relative edge order is preserved
+    inside each list, so the accumulation order is fixed (deterministic),
+    though it differs from the unsplit path at f32 rounding level.
+    """
+    P = pgraph.n_parts
+    rows = np.asarray(pgraph.rows_local)
+    vals = np.asarray(pgraph.vals)
+    is_int = cols_halo < R
+
+    n_int = is_int.sum(axis=1)
+    ei = _round_up(max(int(n_int.max()), 1), HALO_PAD)
+    eb = _round_up(max(int((cols_halo.shape[1] - n_int).max()), 1), HALO_PAD)
+
+    def _alloc(width):
+        return (np.full((P, width), R - 1, np.int32),
+                np.zeros((P, width), np.int32),
+                np.zeros((P, width), np.float32))
+
+    ri, ci, vi = _alloc(ei)
+    rb, cb, vb = _alloc(eb)
+    for p in range(P):
+        m = is_int[p]
+        k = int(m.sum())
+        ri[p, :k] = rows[p][m]
+        ci[p, :k] = cols_halo[p][m]
+        vi[p, :k] = vals[p][m]
+        kb = cols_halo.shape[1] - k
+        rb[p, :kb] = rows[p][~m]
+        cb[p, :kb] = cols_halo[p][~m] - R
+        vb[p, :kb] = vals[p][~m]
+    as_j = jnp.asarray
+    return ((as_j(ri), as_j(ci), as_j(vi)),
+            (as_j(rb), as_j(cb), as_j(vb)))
 
 
 def _remote_refs(pgraph: PartitionedGraph):
@@ -218,6 +283,38 @@ def halo_stats(pgraph: PartitionedGraph) -> dict:
 def halo_fraction(halo: HaloDescriptor, pgraph: PartitionedGraph) -> float:
     """Fraction of the padded node count exchanged per hop (<1 is a win)."""
     return halo.n_parts * halo.halo_width / pgraph.n_rows_padded
+
+
+def exchange_and_spmm_overlapped(
+    edges_int: tuple,             # (rows[Ei], cols[Ei] -> x_local, vals[Ei])
+    edges_bnd: tuple,             # (rows[Eb], cols[Eb] -> halo buf, vals[Eb])
+    send_idx: jnp.ndarray,        # [P, H] rows this chip sends to each peer
+    x_local: jnp.ndarray,         # [R, F] local feature rows
+    rows_per_part: int,
+) -> jnp.ndarray:
+    """Halo-exchanged SpMM hop with comm/compute overlap.
+
+    The interior segment-sum reads only ``x_local``, so it carries no
+    data dependence on the ``all_to_all`` — XLA's async collective
+    scheduling starts the ICI exchange, runs the interior SpMM, and only
+    the boundary term awaits the halo buffer. Same result as
+    :func:`exchange_and_spmm` up to f32 summation-order rounding.
+    """
+    ri, ci, vi = edges_int
+    rb, cb, vb = edges_bnd
+    send = jnp.take(x_local, send_idx.reshape(-1), axis=0)   # (P*H, F)
+    halo = jax.lax.all_to_all(
+        send, NODES_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )                                                        # (P*H, F)
+    acc = jax.ops.segment_sum(
+        jnp.take(x_local, ci, axis=0) * vi[:, None],
+        ri, num_segments=rows_per_part, indices_are_sorted=False,
+    )
+    bnd = jax.ops.segment_sum(
+        jnp.take(halo, cb, axis=0) * vb[:, None],
+        rb, num_segments=rows_per_part, indices_are_sorted=False,
+    )
+    return acc + bnd
 
 
 def exchange_and_spmm(

@@ -60,6 +60,25 @@ def spmm_sharded(
 
     edge_spec = P(NODES_AXIS, None)
 
+    if halo is not None and halo.overlapped:
+        from sgc_tpu.parallel.halo import exchange_and_spmm_overlapped
+
+        def body_overlap(e_int, e_bnd, send_idx, x_local):
+            return exchange_and_spmm_overlapped(
+                tuple(a[0] for a in e_int), tuple(a[0] for a in e_bnd),
+                send_idx[0], x_local, pgraph.rows_per_part,
+            )
+
+        e3 = (edge_spec, edge_spec, edge_spec)
+        fn = shard_map(
+            body_overlap,
+            mesh=mesh,
+            in_specs=(e3, e3, P(NODES_AXIS, None, None),
+                      P(NODES_AXIS, FEAT_AXIS)),
+            out_specs=P(NODES_AXIS, FEAT_AXIS),
+        )
+        return fn(halo.edges_int, halo.edges_bnd, halo.send_idx, x)
+
     if halo is not None:
         from sgc_tpu.parallel.halo import exchange_and_spmm
 

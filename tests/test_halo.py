@@ -163,21 +163,25 @@ def test_build_halo_scales_p256_10m_edges():
     # loop at > 100x). A loose absolute cap still catches pathologies.
     key = (np.asarray(pgraph.cols).ravel().astype(np.int64)
            + np.random.default_rng(1).integers(0, 1 << 40))
-    t0 = time.perf_counter()
-    np.argsort(key, kind="stable")
-    yardstick = time.perf_counter() - t0
 
-    dts = []
+    # yardstick and build measured back-to-back PER ATTEMPT (a load
+    # burst between a single yardstick and the builds still flaked);
+    # at least one attempt must see a consistent window.
+    ratios, dts = [], []
     for _ in range(3):
         t0 = time.perf_counter()
+        np.argsort(key, kind="stable")
+        yardstick = time.perf_counter() - t0
+        t0 = time.perf_counter()
         halo = build_halo(pgraph)
-        dts.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        dts.append(dt)
+        ratios.append(dt / max(yardstick, 1e-9))
     assert halo.n_parts == 256
     assert halo.halo_width > 0
-    dt = min(dts)
-    assert dt < max(8 * yardstick, 5.0) and dt < 90.0, (
-        f"build_halo took {dt:.1f}s at P=256/10M edges "
-        f"(yardstick argsort {yardstick:.1f}s; all runs {dts})"
+    assert (min(ratios) < 8 or min(dts) < 5.0) and min(dts) < 90.0, (
+        f"build_halo took {min(dts):.1f}s at P=256/10M edges "
+        f"(ratios vs argsort yardstick {ratios}; all runs {dts})"
     )
 
 
@@ -244,3 +248,60 @@ def test_halo_stats_reports_padding():
     # consistency with the plan's H (pre-rounding bound)
     halo = build_halo(pgraph)
     assert halo.halo_width >= stats["max_pair_width"]
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1)])
+def test_overlapped_halo_matches_unsplit_and_scipy(mesh_shape):
+    """build_halo(overlap=True): the interior/boundary split (whose
+    interior segment-sum is independent of the all_to_all, letting XLA
+    hide the exchange) must reproduce the unsplit halo hop and scipy."""
+    np_parts, pf = mesh_shape
+    a = _block_diag_graph(seed=3)
+    g = SparseGraph.from_scipy(a)
+    mesh = make_mesh(np_parts, pf)
+    pg = partition_graph(g, np_parts)
+    halo = build_halo(pg)
+    halo_ov = build_halo(pg, overlap=True)
+    assert halo_ov.overlapped and not halo.overlapped
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(a.shape[0], 16)).astype(np.float32)
+    xp = pad_node_rows(pad_feature_dim(jnp.asarray(x), 8 * pf),
+                       pg.n_rows_padded)
+    xs = shard_features(mesh, xp)
+
+    out_plain = np.asarray(spmm_sharded(mesh, pg, xs, halo=halo))
+    out_ov = np.asarray(spmm_sharded(mesh, pg, xs, halo=halo_ov))
+    np.testing.assert_allclose(out_ov, out_plain, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        out_ov[: a.shape[0], :16], a @ x, rtol=1e-4, atol=1e-5
+    )
+    # two hops
+    out2 = np.asarray(propagate_sharded(mesh, pg, xs, 2, halo=halo_ov))
+    np.testing.assert_allclose(
+        out2[: a.shape[0], :16], a @ (a @ x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_overlap_split_accounting():
+    """Every real edge lands in exactly one of interior/boundary; index
+    ranges match their gather tables."""
+    a = _block_diag_graph(seed=5)
+    g = SparseGraph.from_scipy(a)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg, overlap=True)
+    R = pg.rows_per_part
+    H = halo.halo_width
+
+    ri, ci, vi = (np.asarray(t) for t in halo.edges_int)
+    rb, cb, vb = (np.asarray(t) for t in halo.edges_bnd)
+    n_real = int((np.asarray(pg.vals) != 0).sum())
+    assert int((vi != 0).sum()) + int((vb != 0).sum()) == n_real
+    assert ci.max() < R
+    assert cb.max() < halo.n_parts * H
+    # padded slots are no-ops pointing at the last local row
+    assert np.all(ri[vi == 0] == R - 1)
+    # value multiset is preserved
+    got = np.sort(np.concatenate([vi[vi != 0], vb[vb != 0]]))
+    want = np.sort(np.asarray(pg.vals)[np.asarray(pg.vals) != 0])
+    np.testing.assert_array_equal(got, want)
