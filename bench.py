@@ -270,6 +270,10 @@ def main() -> None:
 
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
     topology = os.environ.get("SGC_BENCH_TOPOLOGY", "both")
+    if topology not in ("both", "clustered", "uniform"):
+        raise SystemExit(
+            f"SGC_BENCH_TOPOLOGY={topology!r}: expected both|clustered|uniform"
+        )
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     real = None

@@ -28,7 +28,7 @@ def main():
     from sgc_tpu.graph.locality import LocalityPlan
     from sgc_tpu.models.sgc import init_sgc
     from sgc_tpu.train.loops import _lbfgs_linear_fit
-    from sgc_tpu.utils.profiling import sync
+    from sgc_tpu.utils.profiling import bench_timeit
 
     print("backend:", jax.default_backend(), flush=True)
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
@@ -54,17 +54,8 @@ def main():
         return params
 
     def timeit(name, fn, reps=5):
-        out = fn()
-        sync(out)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            sync(out)
-            ts.append(time.perf_counter() - t0)
-        print(f"{name:28s} min {min(ts)*1e3:7.1f} ms  "
-              f"med {sorted(ts)[len(ts)//2]*1e3:7.1f} ms", flush=True)
-        return out
+        return bench_timeit(name, fn, reps,
+                            emit=lambda s: print(s, flush=True))
 
     tr = timeit("hops (one program)", lambda: hops(x, dev_args))
 

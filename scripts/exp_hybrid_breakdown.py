@@ -37,7 +37,7 @@ def main():
     from sgc_tpu.ops.spmm_hybrid import (hybrid_bind, hybrid_device_args,
                                          spmm_hybrid_split)
     from sgc_tpu.ops.spmm import spmm_segment
-    from sgc_tpu.utils.profiling import sync
+    from sgc_tpu.utils.profiling import bench_timeit
 
     print("backend:", jax.default_backend(), flush=True)
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
@@ -55,17 +55,8 @@ def main():
     args_final = hybrid_device_args(plan.split_final)
 
     def timeit(name, fn, reps=5):
-        out = fn()
-        sync(out)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            sync(out)
-            ts.append(time.perf_counter() - t0)
-        print(f"{name:32s} min {min(ts)*1e3:7.1f} ms  "
-              f"med {sorted(ts)[len(ts)//2]*1e3:7.1f} ms", flush=True)
-        return out
+        return bench_timeit(name, fn, reps,
+                            emit=lambda s: print(s, flush=True))
 
     noop = jax.jit(lambda s: s + 1.0)
     timeit("dispatch floor (scalar noop)", lambda: noop(jnp.float32(1.0)),

@@ -29,7 +29,7 @@ def main():
 
     from sgc_tpu.models.sgc import init_sgc
     from sgc_tpu.train.loops import _lbfgs_linear_fit
-    from sgc_tpu.utils.profiling import sync
+    from sgc_tpu.utils.profiling import bench_timeit
 
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
@@ -41,17 +41,8 @@ def main():
     cw = jnp.ones((c,), jnp.float32)
 
     def timeit(name, fn, reps=5):
-        out = fn()
-        sync(out)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            sync(out)
-            ts.append(time.perf_counter() - t0)
-        print(f"{name:28s} min {min(ts)*1e3:7.1f} ms  "
-              f"med {sorted(ts)[len(ts)//2]*1e3:7.1f} ms", flush=True)
-        return out
+        return bench_timeit(name, fn, reps,
+                            emit=lambda s: print(s, flush=True))
 
     pf = timeit("lbfgs f32 features", lambda: _lbfgs_linear_fit(
         p0, tr, y, wd, cw, 2, False, False, 1.0)[0])

@@ -58,6 +58,12 @@ class LocalityPlan:
     split_main: object            # HybridSplit for full hops
     split_final: object           # HybridSplit for the train-row hop
     prep_seconds: dict            # per-stage host prep timing
+    # jit-program + device-placement cache: hop programs are built ONCE
+    # per (precision, interpret) and edge arrays placed ONCE per plan —
+    # rebuilding jit closures per call would retrace/recompile every
+    # propagate_* invocation (minutes over the tunneled backend)
+    _cache: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False)
 
     @classmethod
     def build(
@@ -117,15 +123,42 @@ class LocalityPlan:
 
     # ------------------------------------------------------------- compute
 
-    def hop_fns(self, precision: str = "f32", interpret: bool | None = None):
-        """(full_hop, final_hop) jit-compiled hybrid SpMM closures."""
-        from sgc_tpu.ops.spmm_hybrid import spmm_hybrid_split
+    def _device_args(self):
+        """Edge arrays placed on device ONCE per plan (jit arguments, not
+        HLO literals — the closure form bakes 100+ MB into the program
+        at Reddit scale and trips remote-compile body limits)."""
+        from sgc_tpu.ops.spmm_hybrid import hybrid_device_args
 
-        full = jax.jit(lambda x: spmm_hybrid_split(
-            self.split_main, x, interpret=interpret, precision=precision))
-        final = jax.jit(lambda x: spmm_hybrid_split(
-            self.split_final, x, interpret=interpret, precision=precision))
-        return full, final
+        if "args" not in self._cache:
+            self._cache["args"] = (hybrid_device_args(self.split_main),
+                                   hybrid_device_args(self.split_final))
+        return self._cache["args"]
+
+    def hop_fns(self, precision: str = "f32", interpret: bool | None = None):
+        """(full_hop, final_hop) jit-compiled hybrid SpMM closures.
+
+        Programs are cached per (precision, interpret) and edge data is
+        device-resident via :meth:`_device_args`, so repeated calls reuse
+        one compile and pay zero host->device transfer.
+        """
+        from sgc_tpu.ops.spmm_hybrid import hybrid_bind, spmm_hybrid_split
+
+        key = ("fns", precision, interpret)
+        if key not in self._cache:
+            def _program(split):
+                fn = jax.jit(lambda x, a: spmm_hybrid_split(
+                    hybrid_bind(split, a), x,
+                    interpret=interpret, precision=precision))
+                return fn
+
+            full_p = _program(self.split_main)
+            final_p = _program(self.split_final)
+            args_main, args_final = self._device_args()
+            self._cache[key] = (
+                lambda x: full_p(x, args_main),
+                lambda x: final_p(x, args_final),
+            )
+        return self._cache[key]
 
     def khop_traceable(
         self,
@@ -143,13 +176,11 @@ class LocalityPlan:
         which keeps the compile unit small enough for remote-compile
         body limits and the persistent cache.
         """
-        from sgc_tpu.ops.spmm_hybrid import (hybrid_bind, hybrid_device_args,
-                                             spmm_hybrid_split)
+        from sgc_tpu.ops.spmm_hybrid import hybrid_bind, spmm_hybrid_split
 
         if degree < 1:
             raise ValueError("degree must be >= 1 (S^0 is a row gather)")
-        device_args = (hybrid_device_args(self.split_main),
-                       hybrid_device_args(self.split_final))
+        device_args = self._device_args()
 
         def khop(x, args):
             main_args, final_args = args

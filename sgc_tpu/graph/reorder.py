@@ -174,6 +174,19 @@ def lpa_order(
         raise ValueError(f"unknown lpa impl {impl!r}")
     if impl == "auto":
         impl = "native" if native.available() else "sync"
+        if impl == "sync":
+            import warnings
+
+            # both solvers are valid LPA fixpoints but not identical, so
+            # 'auto' orderings (and any downstream density/bench numbers)
+            # differ between machines with and without the C++ library —
+            # make that visible. seed only affects the sync solver.
+            warnings.warn(
+                "lpa_order: native library unavailable, using the "
+                "synchronous numpy solver — orderings differ from the "
+                "native path (pass impl= explicitly to pin one)",
+                stacklevel=2,
+            )
     if impl == "native":
         labels, _ = native.lpa_labels(
             csr.indptr, csr.indices, max_iter=max_iter,

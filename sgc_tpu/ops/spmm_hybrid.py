@@ -231,6 +231,10 @@ def hybrid_bind(split: HybridSplit, args: tuple) -> HybridSplit:
             raise ValueError("split has a dense part but args carry none")
         rows, cols, vals = tiled_arrays
         tiled = dataclasses.replace(tiled, rows=rows, cols=cols, vals=vals)
+    if split.rest is not None and rest is None:
+        # symmetric with the dense guard: silently dropping the sparse
+        # remainder would return a numerically wrong SpMM with no error
+        raise ValueError("split has a sparse remainder but args carry none")
     return dataclasses.replace(split, tiled=tiled, rest=rest)
 
 

@@ -30,6 +30,28 @@ def sync(tree) -> None:
             jnp.sum(leaf).item() if leaf.dtype != bool else bool(jnp.any(leaf))
 
 
+def bench_timeit(name: str, fn, reps: int = 5, emit=print):
+    """Warm once, run ``reps`` sync-closed repetitions, print min/median.
+
+    The canonical micro-timing discipline for this backend (one untimed
+    warm call absorbs compile; every timed region is closed by ``sync``
+    because ``block_until_ready`` can return early here — module
+    docstring). Returns the last output so callers can chain results.
+    Shared by the scripts/exp_*.py measurement harnesses.
+    """
+    out = fn()
+    sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    emit(f"{name:32s} min {min(ts) * 1e3:7.1f} ms  "
+         f"med {sorted(ts)[len(ts) // 2] * 1e3:7.1f} ms")
+    return out
+
+
 @dataclass
 class Metrics:
     """Accumulates named timings and counters; printable / JSON-able."""

@@ -121,3 +121,20 @@ def test_restore_rows_roundtrip():
     plan = LocalityPlan.build(graph, x, labels, idx_train)
     restored = plan.restore_rows(plan.labels)
     np.testing.assert_array_equal(restored, labels)
+
+
+def test_hop_programs_and_placement_are_cached():
+    """hop_fns must return the SAME closures across calls (one compile
+    per (precision, interpret)) and device args must be placed once —
+    rebuilding per call retraces/recompiles every propagate (minutes
+    over the tunneled backend; round-2 review finding)."""
+    graph, x, labels, idx_train = _clustered(seed=11)
+    plan = LocalityPlan.build(graph, x, labels, idx_train)
+
+    f1, g1 = plan.hop_fns(interpret=True)
+    f2, g2 = plan.hop_fns(interpret=True)
+    assert f1 is f2 and g1 is g2
+    assert plan._device_args() is plan._device_args()
+    _, a1 = plan.khop_traceable(interpret=True)
+    _, a2 = plan.khop_traceable(interpret=True)
+    assert a1 is a2

@@ -192,7 +192,7 @@ def test_sort_edges_benchmark_vs_lexsort():
 
 
 @requires_native
-def test_lpa_labels_native_matches_python_twin_exactly():
+def test_lpa_labels_native_matches_python_twin_exactly(monkeypatch):
     """Same sweep order + tie-break => bitwise-equal labels and sweep
     count between the C++ path and the per-node python twin."""
     import sgc_tpu.native as nat
@@ -210,12 +210,11 @@ def test_lpa_labels_native_matches_python_twin_exactly():
 
     fast, fast_sweeps = nat.lpa_labels(csr.indptr, csr.indices)
 
-    lib = nat._lib
-    nat._lib = None
-    try:
-        slow, slow_sweeps = nat.lpa_labels(csr.indptr, csr.indices)
-    finally:
-        nat._lib = lib
+    # genuinely force the python twin: _lib = None alone would make
+    # _try_load() RELOAD the .so (native vs itself — vacuous)
+    monkeypatch.setattr(nat, "_try_load", lambda: None)
+    slow, slow_sweeps = nat.lpa_labels(csr.indptr, csr.indices)
+    assert slow_sweeps > 0  # twin actually ran its loop
     np.testing.assert_array_equal(fast, slow)
     assert fast_sweeps == slow_sweeps
     assert fast_sweeps <= 20
@@ -241,7 +240,7 @@ def test_lpa_labels_recover_planted_blocks():
 
 
 @requires_native
-def test_tile_fill_matches_numpy_twin_bitwise():
+def test_tile_fill_matches_numpy_twin_bitwise(monkeypatch):
     """Native counting-sort tiler must reproduce the lexsort+scatter
     layout EXACTLY (same within-cell order, same padding slots)."""
     import sgc_tpu.native as nat
@@ -257,12 +256,11 @@ def test_tile_fill_matches_numpy_twin_bitwise():
 
     fast = tile_graph(graph, 128, 128, 1024)
 
-    lib = nat._lib
-    nat._lib = None
-    try:
-        slow = tile_graph(graph, 128, 128, 1024)
-    finally:
-        nat._lib = lib
+    # force the numpy twin for real (see lpa twin test: _lib=None alone
+    # would just reload the .so)
+    monkeypatch.setattr(nat, "_try_load", lambda: None)
+    assert nat.tile_fill(r, c, v, r, r, r, 1024, 1, 128, 128, 1) is None
+    slow = tile_graph(graph, 128, 128, 1024)
     np.testing.assert_array_equal(fast.rows, slow.rows)
     np.testing.assert_array_equal(fast.cols, slow.cols)
     np.testing.assert_array_equal(fast.vals, slow.vals)
