@@ -196,9 +196,12 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
     t0 = time.perf_counter()
     plan = LocalityPlan.build(graph, features, labels, idx_train)
     prep_s = time.perf_counter() - t0
+    s = plan.split_main
+    extra = (f"cells {s.n_cells} ({s.cell_bytes / 1e9:.2f} GB bf16)"
+             if hasattr(s, "cells") else f"pad {s.pad:.3f}")
     log(
         f"clustered prep {prep_s:.1f}s ({plan.prep_seconds}); "
-        f"dense_frac {plan.dense_fraction:.3f} pad {plan.split_main.pad:.3f}"
+        f"dense_frac {plan.dense_fraction:.3f} {extra}"
     )
 
     x = jnp.asarray(plan.features)
@@ -320,7 +323,7 @@ def main() -> None:
     elif clustered is not None:
         out["data"] = (
             "synthetic clustered (85% intra, 50 communities, shuffled ids; "
-            "lpa reorder + hybrid MXU/XLA split — real Reddit's regime)"
+            "lpa reorder + block-dense MXU/XLA split — real Reddit's regime)"
         )
         out["dense_frac"] = round(clustered["dense_frac"], 3)
         out["host_prep_s"] = clustered["prep_s"]

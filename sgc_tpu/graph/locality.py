@@ -76,9 +76,23 @@ class LocalityPlan:
         row_block: int = 512,
         stripe: int = 512,
         min_fill: float | None = None,
+        formulation: str = "blockdense",
     ) -> "LocalityPlan":
-        """Host-side, O(E log E); do once per graph, reuse across K/epochs."""
+        """Host-side, O(E log E); do once per graph, reuse across K/epochs.
+
+        ``formulation`` picks the dense-cell compute form:
+        * ``blockdense`` (default) — materialized bf16 cells as REAL MXU
+          matmuls (ops/spmm_blockdense.py; ~2x the one-hot kernel at
+          Reddit-scale cell densities, DESIGN §2e). ``min_fill`` is
+          ignored (admission is the per-cell edge-count crossover).
+        * ``onehot`` — the Pallas flat-schedule one-hot kernel
+          (ops/spmm_hybrid.py); f32-storage exact, no cell byte budget.
+        """
+        from sgc_tpu.ops.spmm_blockdense import split_block_dense
         from sgc_tpu.ops.spmm_hybrid import split_dense_cells
+
+        if formulation not in ("blockdense", "onehot"):
+            raise ValueError(f"unknown formulation {formulation!r}")
 
         nnz = graph.nnz
         adj = sp.coo_matrix(
@@ -109,10 +123,15 @@ class LocalityPlan:
 
         t0 = time.perf_counter()
         nf = int(features_p.shape[1])
-        split_main = split_dense_cells(
-            graph_p, nf, row_block, stripe, min_fill=min_fill)
-        split_final = split_dense_cells(
-            graph_final, nf, row_block, stripe, min_fill=min_fill)
+        if formulation == "blockdense":
+            split_main = split_block_dense(graph_p, nf, row_block, stripe)
+            split_final = split_block_dense(
+                graph_final, nf, row_block, stripe)
+        else:
+            split_main = split_dense_cells(
+                graph_p, nf, row_block, stripe, min_fill=min_fill)
+            split_final = split_dense_cells(
+                graph_final, nf, row_block, stripe, min_fill=min_fill)
         t["split_s"] = time.perf_counter() - t0
 
         return cls(
@@ -123,16 +142,39 @@ class LocalityPlan:
 
     # ------------------------------------------------------------- compute
 
+    @property
+    def _blockdense(self) -> bool:
+        from sgc_tpu.ops.spmm_blockdense import BlockDenseSplit
+
+        return isinstance(self.split_main, BlockDenseSplit)
+
     def _device_args(self):
         """Edge arrays placed on device ONCE per plan (jit arguments, not
         HLO literals — the closure form bakes 100+ MB into the program
         at Reddit scale and trips remote-compile body limits)."""
-        from sgc_tpu.ops.spmm_hybrid import hybrid_device_args
-
         if "args" not in self._cache:
-            self._cache["args"] = (hybrid_device_args(self.split_main),
-                                   hybrid_device_args(self.split_final))
+            if self._blockdense:
+                from sgc_tpu.ops.spmm_blockdense import (
+                    blockdense_device_args as dev_args)
+            else:
+                from sgc_tpu.ops.spmm_hybrid import (
+                    hybrid_device_args as dev_args)
+            self._cache["args"] = (dev_args(self.split_main),
+                                   dev_args(self.split_final))
         return self._cache["args"]
+
+    def _spmm_form(self, split, precision: str, interpret: bool | None):
+        """(x, args) -> S@x for one split, under the plan's formulation."""
+        if self._blockdense:
+            from sgc_tpu.ops.spmm_blockdense import spmm_block_dense
+
+            return lambda x, a: spmm_block_dense(
+                split, x, args=a, precision=precision)
+        from sgc_tpu.ops.spmm_hybrid import hybrid_bind, spmm_hybrid_split
+
+        return lambda x, a: spmm_hybrid_split(
+            hybrid_bind(split, a), x, interpret=interpret,
+            precision=precision)
 
     def hop_fns(self, precision: str = "f32", interpret: bool | None = None):
         """(full_hop, final_hop) jit-compiled hybrid SpMM closures.
@@ -141,18 +183,12 @@ class LocalityPlan:
         device-resident via :meth:`_device_args`, so repeated calls reuse
         one compile and pay zero host->device transfer.
         """
-        from sgc_tpu.ops.spmm_hybrid import hybrid_bind, spmm_hybrid_split
-
         key = ("fns", precision, interpret)
         if key not in self._cache:
-            def _program(split):
-                fn = jax.jit(lambda x, a: spmm_hybrid_split(
-                    hybrid_bind(split, a), x,
-                    interpret=interpret, precision=precision))
-                return fn
-
-            full_p = _program(self.split_main)
-            final_p = _program(self.split_final)
+            full_p = jax.jit(
+                self._spmm_form(self.split_main, precision, interpret))
+            final_p = jax.jit(
+                self._spmm_form(self.split_final, precision, interpret))
             args_main, args_final = self._device_args()
             self._cache[key] = (
                 lambda x: full_p(x, args_main),
@@ -176,21 +212,17 @@ class LocalityPlan:
         which keeps the compile unit small enough for remote-compile
         body limits and the persistent cache.
         """
-        from sgc_tpu.ops.spmm_hybrid import hybrid_bind, spmm_hybrid_split
-
         if degree < 1:
             raise ValueError("degree must be >= 1 (S^0 is a row gather)")
         device_args = self._device_args()
+        full_f = self._spmm_form(self.split_main, precision, interpret)
+        final_f = self._spmm_form(self.split_final, precision, interpret)
 
         def khop(x, args):
             main_args, final_args = args
-            s_main = hybrid_bind(self.split_main, main_args)
-            s_final = hybrid_bind(self.split_final, final_args)
             for _ in range(degree - 1):
-                x = spmm_hybrid_split(s_main, x, interpret=interpret,
-                                      precision=precision)
-            return spmm_hybrid_split(s_final, x, interpret=interpret,
-                                     precision=precision)
+                x = full_f(x, main_args)
+            return final_f(x, final_args)
 
         return khop, device_args
 

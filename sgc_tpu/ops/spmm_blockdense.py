@@ -1,0 +1,262 @@
+"""Block-dense SpMM: materialized dense cells as REAL MXU matmuls.
+
+The one-hot Pallas kernel (ops/spmm_pallas.py) costs 2*(R+W)*F flops per
+EDGE; a materialized (R, W) cell costs 2*R*W*F flops per CELL — the
+crossover is R*W/(R+W) edges (256 at 512x512). Community-clustered
+graphs concentrate thousands of edges per diagonal cell, so real
+matmuls over materialized blocks beat both the one-hot form and the XLA
+gather wall by a wide margin (measured on v5e at Reddit scale, hop1
+dense part: 284 ms segment / 129 ms one-hot / 65 ms block-dense —
+scripts/exp_blockdense.py; docs/DESIGN.md §2e).
+
+Storage is bf16: the v5e MXU rounds f32 operands to bf16 regardless
+(measured bitwise-identical, DESIGN §2d), so bf16 cells change nothing
+numerically while halving HBM footprint (f32 cells OOM a 16 GB chip at
+Reddit scale). Accumulation is f32 (`preferred_element_type`).
+
+Replaces: reference utils.py:92-97 torch.spmm hops (the compute), via
+the same cost-model-split pattern as ops/spmm_hybrid.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.ops.spmm import spmm_segment
+from sgc_tpu.ops.spmm_hybrid import XLA_EDGES_PER_S
+
+# Measured einsum-path throughput at (512,512,F=602), v5e, Reddit scale:
+# 5083 cells in ~65 ms net of dispatch => ~13 us/cell, i.e. an effective
+# 2*R*W*F_pad / 13us ~ 2.6e13 flop/s INCLUDING the gather/scatter HBM
+# traffic around the matmuls (scripts/exp_blockdense.py). Used by the
+# admission model; deliberately conservative so marginal cells stay on
+# the segment path.
+BLOCKDENSE_EFF_FLOPS = 2.6e13
+
+DEFAULT_ROW_BLOCK = 512
+DEFAULT_STRIPE = 512
+DEFAULT_BYTE_BUDGET = 4 << 30   # bf16 cell bytes per split
+CELL_CHUNK = 2048               # cells per scan step (bounds peak memory)
+
+
+def min_edges_for(row_block: int, stripe: int, n_features: int,
+                  eff_flops: float = BLOCKDENSE_EFF_FLOPS,
+                  xla_edges_per_s: float = XLA_EDGES_PER_S) -> float:
+    """Edges per cell above which the materialized matmul beats the
+    XLA segment path for that cell's edges."""
+    f_pad = -(-max(n_features, 128) // 128) * 128
+    cell_seconds = 2.0 * row_block * stripe * f_pad / eff_flops
+    return cell_seconds * xla_edges_per_s
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockDenseSplit:
+    """Host-side split: materialized cells + sparse remainder.
+
+    Arrays are host-resident (numpy); device placement happens once in
+    :func:`blockdense_device_args` (same discipline as HybridSplit).
+    ``cells`` is bf16 [n_cells_pad, R, W] with zero padding cells so the
+    scan length divides CELL_CHUNK; padded entries carry rb=st=0 and
+    contribute exact zeros.
+    """
+
+    cells: np.ndarray             # bf16[n_cells_pad, R, W]
+    rb_ids: np.ndarray            # int32[n_cells_pad] row-block ids
+    st_ids: np.ndarray            # int32[n_cells_pad] stripe ids
+    rest: SparseGraph | None      # remainder for the segment path
+    n_rows: int
+    n_cols: int
+    row_block: int
+    stripe: int
+    n_cells: int                  # real (unpadded) cell count
+    dense_edges: int
+    sparse_edges: int
+    min_edges: float
+
+    @property
+    def cell_bytes(self) -> int:
+        return self.cells.nbytes
+
+    @property
+    def n_row_blocks(self) -> int:
+        return -(-self.n_rows // self.row_block)
+
+    @property
+    def n_stripes(self) -> int:
+        return -(-self.n_cols // self.stripe)
+
+
+def split_block_dense(
+    graph: SparseGraph,
+    n_features: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    min_edges: float | None = None,
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+) -> BlockDenseSplit:
+    """Partition edges by per-cell count; materialize qualifying cells.
+
+    Host-side, O(E). Admission: a cell qualifies when its edge count
+    exceeds the measured cost-model crossover (``min_edges_for``);
+    qualifying cells are then admitted densest-first until
+    ``byte_budget`` bf16 bytes — everything else joins the sparse
+    remainder, so the op degrades gracefully to the segment path on
+    structureless graphs (zero cells => pure XLA).
+    """
+    import jax.core
+
+    if isinstance(graph.rows, jax.core.Tracer):
+        raise TypeError(
+            "split_block_dense needs a concrete graph: build the split "
+            "OUTSIDE jit and call spmm_block_dense in traced code")
+    if min_edges is None:
+        min_edges = min_edges_for(row_block, stripe, n_features)
+
+    rows = np.asarray(graph.rows)[: graph.nnz].astype(np.int64)
+    cols = np.asarray(graph.cols)[: graph.nnz].astype(np.int64)
+    vals = np.asarray(graph.vals)[: graph.nnz].astype(np.float32)
+
+    n_st = -(-graph.n_cols // stripe)
+    cell = (rows // row_block) * n_st + (cols // stripe)
+    counts = np.bincount(
+        cell, minlength=(-(-graph.n_rows // row_block)) * n_st)
+
+    qualifying = np.flatnonzero(counts > min_edges)
+    cell_bytes = 2 * row_block * stripe
+    max_cells = max(int(byte_budget // cell_bytes), 0)
+    if len(qualifying) > max_cells:
+        order = np.argsort(-counts[qualifying], kind="stable")
+        qualifying = np.sort(qualifying[order[:max_cells]])
+
+    compact = np.full(len(counts), -1, np.int64)
+    compact[qualifying] = np.arange(len(qualifying))
+    k = compact[cell]
+    dense_mask = k >= 0
+    n_dense = int(dense_mask.sum())
+    n_cells = len(qualifying)
+
+    cells = np.zeros((0, row_block, stripe), np.dtype("bfloat16"))
+    rb_ids = np.zeros(0, np.int32)
+    st_ids = np.zeros(0, np.int32)
+    if n_cells:
+        dense = np.zeros((n_cells, row_block, stripe), np.float32)
+        kd = k[dense_mask]
+        rd = rows[dense_mask] % row_block
+        cd = cols[dense_mask] % stripe
+        vd = vals[dense_mask]
+        # sorted edges: duplicates are adjacent — O(E) check. Unique
+        # (row, col) allows plain fancy assignment; np.add.at is ~10x
+        # slower and only needed when duplicates must sum.
+        key = (rows[dense_mask] << 32) | cols[dense_mask]
+        if len(key) > 1 and (key[1:] == key[:-1]).any():
+            np.add.at(dense, (kd, rd, cd), vd)
+        else:
+            dense[kd, rd, cd] = vd
+        cells = dense.astype(np.dtype("bfloat16"))
+        rb_ids = (qualifying // n_st).astype(np.int32)
+        st_ids = (qualifying % n_st).astype(np.int32)
+        # pad the cell list so the device scan has equal-size steps
+        chunk = min(CELL_CHUNK, 1 << (n_cells - 1).bit_length())
+        pad = -n_cells % chunk
+        if pad:
+            cells = np.concatenate(
+                [cells, np.zeros((pad, row_block, stripe), cells.dtype)])
+            rb_ids = np.concatenate([rb_ids, np.zeros(pad, np.int32)])
+            st_ids = np.concatenate([st_ids, np.zeros(pad, np.int32)])
+
+    rest = None
+    n_sparse = len(rows) - n_dense
+    if n_sparse:
+        rest = SparseGraph.from_coo(
+            rows[~dense_mask], cols[~dense_mask], vals[~dense_mask],
+            n_rows=graph.n_rows, n_cols=graph.n_cols,
+            device=False, presorted=True,
+        )
+    return BlockDenseSplit(
+        cells=cells, rb_ids=rb_ids, st_ids=st_ids, rest=rest,
+        n_rows=graph.n_rows, n_cols=graph.n_cols,
+        row_block=row_block, stripe=stripe, n_cells=n_cells,
+        dense_edges=n_dense, sparse_edges=n_sparse, min_edges=min_edges,
+    )
+
+
+def blockdense_device_args(split: BlockDenseSplit) -> tuple:
+    """Device-placed (cells, rb_ids, st_ids, rest) — placed ONCE; pass
+    as jit arguments (HLO-literal closures trip remote-compile limits,
+    see ops/spmm_hybrid.hybrid_device_args)."""
+    dense = None
+    if split.n_cells:
+        dense = (jnp.asarray(split.cells), jnp.asarray(split.rb_ids),
+                 jnp.asarray(split.st_ids))
+    rest = jax.device_put(split.rest) if split.rest is not None else None
+    return (dense, rest)
+
+
+def spmm_block_dense(
+    split: BlockDenseSplit,
+    x: jnp.ndarray,
+    args: tuple | None = None,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """``S @ x`` through materialized-cell matmuls + segment remainder.
+
+    Jit-traceable. ``args`` (from :func:`blockdense_device_args`) carries
+    the large arrays as traced values; omitting it closes over the host
+    arrays (fine in tests, wrong at scale). ``precision`` controls the
+    x-side cast only — cells are stored bf16 either way, and the MXU
+    rounds operands to bf16 regardless, so 'f32' is for CPU-exactness
+    tests (where bf16 emulation actually loses bits).
+
+    Deterministic: cell accumulation order is fixed (scan order + f32
+    segment-sum), remainder is the sorted segment path.
+    """
+    if args is None:
+        args = blockdense_device_args(split)
+    dense, rest = args
+    if split.n_cells and dense is None:
+        raise ValueError("split has dense cells but args carry none")
+    if split.rest is not None and rest is None:
+        raise ValueError("split has a sparse remainder but args carry none")
+
+    parts = []
+    if split.n_cells:
+        cells, rb, st = dense
+        R, W = split.row_block, split.stripe
+        n_rb, n_st = split.n_row_blocks, split.n_stripes
+        mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, 0)))
+        xb = xp.astype(mm_dtype).reshape(n_st, W, -1)
+
+        n_total = cells.shape[0]
+        chunk = min(CELL_CHUNK, n_total)
+        n_steps = n_total // chunk
+        cells_s = cells.reshape(n_steps, chunk, R, W)
+        rb_s = rb.reshape(n_steps, chunk)
+        st_s = st.reshape(n_steps, chunk)
+
+        def step(acc, inp):
+            a, rbi, sti = inp
+            xg = jnp.take(xb, sti, axis=0)          # [chunk, W, F]
+            out = jnp.einsum(
+                "crw,cwf->crf", a.astype(mm_dtype), xg,
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.ops.segment_sum(out, rbi, num_segments=n_rb)
+            return acc, None
+
+        acc0 = jnp.zeros((n_rb, R, x.shape[1]), jnp.float32)
+        acc, _ = jax.lax.scan(step, acc0, (cells_s, rb_s, st_s))
+        parts.append(acc.reshape(n_rb * R, -1)[: split.n_rows])
+    if rest is not None:
+        parts.append(spmm_segment(rest, x))
+    if not parts:
+        return jnp.zeros((split.n_rows, x.shape[1]), jnp.float32)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out

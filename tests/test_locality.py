@@ -1,6 +1,7 @@
 """LocalityPlan: reorder + dead-row + hybrid split, end-to-end exactness."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 import jax.numpy as jnp
@@ -30,17 +31,25 @@ def _clustered(seed=0, n_clusters=5, per=96, p_in=0.25, p_out=0.01):
     return graph, x, labels, idx_train
 
 
-def test_plan_propagation_matches_scipy_oracle_in_original_ids():
+# blockdense stores cells in bf16 (MXU rounds operands anyway) -> loose
+# tolerance; onehot in interpret mode is f32-exact-ish
+TOLS = {"blockdense": dict(rtol=3e-2, atol=5e-3),
+        "onehot": dict(rtol=5e-4, atol=5e-5)}
+
+
+@pytest.mark.parametrize("formulation", ["blockdense", "onehot"])
+def test_plan_propagation_matches_scipy_oracle_in_original_ids(formulation):
     graph, x, labels, idx_train = _clustered()
     s = graph.to_scipy().tocsr()
     oracle = (s @ (s @ x))  # original numbering
 
-    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    plan = LocalityPlan.build(graph, x, labels, idx_train,
+                              formulation=formulation)
     got = np.asarray(plan.propagate_train(degree=2, interpret=True))
 
     # plan rows are plan.idx_train in the NEW numbering; map to old ids
     old_ids = plan.order[plan.idx_train]
-    np.testing.assert_allclose(got, oracle[old_ids], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(got, oracle[old_ids], **TOLS[formulation])
     # labels travelled with their nodes
     np.testing.assert_array_equal(plan.labels[plan.idx_train], labels[old_ids])
 
@@ -48,7 +57,8 @@ def test_plan_propagation_matches_scipy_oracle_in_original_ids():
 def test_plan_discovers_density_from_shuffled_ids():
     graph, x, labels, idx_train = _clustered(p_in=0.5, per=128, n_clusters=4)
     plan = LocalityPlan.build(graph, x, labels, idx_train,
-                              row_block=128, stripe=128, min_fill=0.3)
+                              row_block=128, stripe=128, min_fill=0.3,
+                              formulation="onehot")
     assert plan.dense_fraction > 0.5
     # the final-hop operator computes exactly the train rows
     assert plan.graph_final.n_rows == len(idx_train)
@@ -75,45 +85,47 @@ def test_khop_traceable_matches_propagate_under_outer_jit():
 
 def test_plan_build_is_host_resident():
     """LocalityPlan.build must never touch the device: intermediate
-    SparseGraphs stay numpy (over the tunneled TPU backend an eager
-    placement costs ~10x the whole build — docs/DESIGN.md §2d), and
-    hybrid_device_args is the single explicit placement point."""
+    arrays stay numpy (over the tunneled TPU backend an eager placement
+    costs ~10x the whole build — docs/DESIGN.md §2d), and _device_args
+    is the single explicit placement point. Both formulations."""
     import jax
 
-    from sgc_tpu.ops.spmm_hybrid import hybrid_device_args
-
     graph, x, labels, idx_train = _clustered(seed=7)
-    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    for formulation in ("blockdense", "onehot"):
+        plan = LocalityPlan.build(graph, x, labels, idx_train,
+                                  formulation=formulation)
+        for g in (plan.graph, plan.graph_final):
+            for leaf in (g.rows, g.cols, g.vals, g.row_ptr):
+                assert isinstance(leaf, np.ndarray), type(leaf)
+        for split in (plan.split_main, plan.split_final):
+            if formulation == "blockdense":
+                assert isinstance(split.cells, np.ndarray)
+            elif split.tiled is not None:
+                assert isinstance(split.tiled.rows, np.ndarray)
+            if split.rest is not None:
+                assert isinstance(split.rest.rows, np.ndarray)
 
-    for g in (plan.graph, plan.graph_final):
-        for leaf in (g.rows, g.cols, g.vals, g.row_ptr):
-            assert isinstance(leaf, np.ndarray), type(leaf)
-    for split in (plan.split_main, plan.split_final):
-        if split.tiled is not None:
-            assert isinstance(split.tiled.rows, np.ndarray)
-        if split.rest is not None:
-            assert isinstance(split.rest.rows, np.ndarray)
-
-    # ... and placement happens exactly at hybrid_device_args
-    args = hybrid_device_args(plan.split_main)
-    leaves = [l for l in jax.tree_util.tree_leaves(args)]
-    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+        # ... and placement happens exactly at _device_args
+        args = plan._device_args()
+        leaves = [l for l in jax.tree_util.tree_leaves(args)]
+        assert leaves and all(isinstance(l, jax.Array) for l in leaves)
 
 
-def test_propagate_all_matches_scipy_in_original_order():
+@pytest.mark.parametrize("formulation", ["blockdense", "onehot"])
+def test_propagate_all_matches_scipy_in_original_order(formulation):
     graph, x, labels, idx_train = _clustered(seed=9)
     s = graph.to_scipy().tocsr()
     oracle = s @ (s @ x)
 
-    plan = LocalityPlan.build(graph, x, labels, idx_train)
+    plan = LocalityPlan.build(graph, x, labels, idx_train,
+                              formulation=formulation)
     got = np.asarray(plan.propagate_all(degree=2, interpret=True))
-    np.testing.assert_allclose(got, oracle, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(got, oracle, **TOLS[formulation])
 
     # restore=False leaves rows in the plan's (reordered) numbering
     raw = np.asarray(plan.propagate_all(degree=2, interpret=True,
                                         restore=False))
-    np.testing.assert_allclose(raw, oracle[plan.order], rtol=5e-4,
-                               atol=5e-5)
+    np.testing.assert_allclose(raw, oracle[plan.order], **TOLS[formulation])
 
 
 def test_restore_rows_roundtrip():

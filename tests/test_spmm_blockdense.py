@@ -1,0 +1,127 @@
+"""Block-dense SpMM vs scipy oracles (bf16-storage tolerance)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.ops.spmm_blockdense import (
+    blockdense_device_args,
+    min_edges_for,
+    split_block_dense,
+    spmm_block_dense,
+)
+
+# cells are STORED bf16 (the design point: the MXU rounds operands to
+# bf16 regardless; f32 cells OOM at Reddit scale) — oracle comparisons
+# carry bf16-rounding tolerance on the dense part.
+BF16_RTOL = 2e-2
+BF16_ATOL = 2e-3   # ~100-term sums of bf16-rounded products (vals ~0.1)
+
+
+def _clustered(seed=0, n_clusters=4, per=128, p_in=0.4, p_out=0.01):
+    rng = np.random.default_rng(seed)
+    n = n_clusters * per
+    blocks = np.repeat(np.arange(n_clusters), per)
+    r, c = np.triu_indices(n, 1)
+    keep = rng.random(len(r)) < np.where(blocks[r] == blocks[c], p_in, p_out)
+    adj = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (r[keep], c[keep])),
+        shape=(n, n))
+    adj = (adj + adj.T).tocsr()
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj),
+                                   device=False)
+    x = rng.standard_normal((n, 48)).astype(np.float32)
+    return graph, x
+
+
+def test_blockdense_matches_scipy_oracle():
+    graph, x = _clustered()
+    split = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                              min_edges=64)
+    assert split.n_cells >= 4          # the 4 diagonal communities
+    assert split.dense_edges > split.sparse_edges
+
+    got = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    want = graph.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(got, want, rtol=BF16_RTOL, atol=BF16_ATOL)
+
+
+def test_blockdense_no_qualifying_cells_is_pure_segment():
+    """Structureless graph + high threshold => exact segment path."""
+    rng = np.random.default_rng(1)
+    n, e = 300, 2000
+    adj = sp.coo_matrix(
+        (rng.random(e).astype(np.float32),
+         (rng.integers(0, n, e), rng.integers(0, n, e))), shape=(n, n))
+    graph = SparseGraph.from_scipy(adj.tocsr(), device=False)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+
+    split = split_block_dense(graph, 16, row_block=128, stripe=128,
+                              min_edges=1e9)
+    assert split.n_cells == 0 and split.dense_edges == 0
+    got = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    want = graph.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)  # f32 exact
+
+
+def test_blockdense_byte_budget_admits_densest_first():
+    graph, x = _clustered(p_in=0.5)
+    full = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                             min_edges=64)
+    one_cell_bytes = 2 * 128 * 128
+    capped = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                               min_edges=64,
+                               byte_budget=2 * one_cell_bytes)
+    assert capped.n_cells == 2 < full.n_cells
+    # result stays exact regardless of the cut
+    got = np.asarray(spmm_block_dense(capped, jnp.asarray(x)))
+    want = graph.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(got, want, rtol=BF16_RTOL, atol=BF16_ATOL)
+
+
+def test_blockdense_sums_duplicate_edges():
+    """from_coo does not coalesce; duplicate (row, col) must SUM into
+    the materialized cell (the fancy-assignment fast path would
+    silently keep only one)."""
+    rows = np.array([0, 0, 1], np.int64)
+    cols = np.array([1, 1, 0], np.int64)
+    vals = np.array([0.5, 0.25, 1.0], np.float32)
+    graph = SparseGraph.from_coo(rows, cols, vals, 4, 4, device=False)
+    split = split_block_dense(graph, 8, row_block=4, stripe=4, min_edges=0)
+    assert split.n_cells == 1
+    x = np.eye(4, 8, dtype=np.float32)
+    got = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    assert got[0, 1] == pytest.approx(0.75, rel=1e-2)
+    assert got[1, 0] == pytest.approx(1.0, rel=1e-2)
+
+
+def test_blockdense_missing_args_guards():
+    graph, x = _clustered(seed=2)
+    split = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                              min_edges=64)
+    with pytest.raises(ValueError, match="dense cells"):
+        spmm_block_dense(split, jnp.asarray(x), args=(None, split.rest))
+    if split.rest is not None:
+        dense, _ = blockdense_device_args(split)
+        with pytest.raises(ValueError, match="remainder"):
+            spmm_block_dense(split, jnp.asarray(x), args=(dense, None))
+
+
+def test_blockdense_deterministic():
+    graph, x = _clustered(seed=3)
+    split = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                              min_edges=64)
+    a = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    b = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_min_edges_for_is_order_of_cell_flop_crossover():
+    # sanity: threshold scales with cell area and features
+    small = min_edges_for(128, 128, 64)
+    big = min_edges_for(512, 512, 602)
+    assert 0 < small < big
