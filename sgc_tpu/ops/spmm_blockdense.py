@@ -145,20 +145,28 @@ def split_block_dense(
     rb_ids = np.zeros(0, np.int32)
     st_ids = np.zeros(0, np.int32)
     if n_cells:
-        dense = np.zeros((n_cells, row_block, stripe), np.float32)
         kd = k[dense_mask]
         rd = rows[dense_mask] % row_block
         cd = cols[dense_mask] % stripe
         vd = vals[dense_mask]
-        # sorted edges: duplicates are adjacent — O(E) check. Unique
-        # (row, col) allows plain fancy assignment; np.add.at is ~10x
-        # slower and only needed when duplicates must sum.
+        # sorted edges: duplicates are adjacent — O(E) check.
         key = (rows[dense_mask] << 32) | cols[dense_mask]
-        if len(key) > 1 and (key[1:] == key[:-1]).any():
-            np.add.at(dense, (kd, rd, cd), vd)
+        has_dups = len(key) > 1 and (key[1:] == key[:-1]).any()
+        flat_idx = kd * (row_block * stripe) + rd * stripe + cd
+        if has_dups:
+            # rare path: duplicates must SUM — accumulate f32, round once
+            dense = np.zeros(n_cells * row_block * stripe, np.float32)
+            np.add.at(dense, flat_idx, vd)
+            cells = dense.astype(np.dtype("bfloat16"))
         else:
-            dense[kd, rd, cd] = vd
-        cells = dense.astype(np.dtype("bfloat16"))
+            # flat bf16 scatter: per-element round-to-nearest, identical
+            # to f32-build + astype, and ~100x faster at 5 GB scale
+            # (measured 0.5s vs 33s assign + 22s astype — the f32 buffer
+            # doubles the page-fault footprint)
+            cells = np.zeros(n_cells * row_block * stripe,
+                             np.dtype("bfloat16"))
+            cells[flat_idx] = vd.astype(np.dtype("bfloat16"))
+        cells = cells.reshape(n_cells, row_block, stripe)
         rb_ids = (qualifying // n_st).astype(np.int32)
         st_ids = (qualifying % n_st).astype(np.int32)
         # pad the cell list so the device scan has equal-size steps
