@@ -225,9 +225,17 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
 
     hops_only = jax.jit(khop)
 
-    # warm (and place the edge arrays on device)
+    # warm (and place the edge arrays on device). Over the tunneled
+    # backend this is minutes: multi-GB cell transfer at ~10-50 MB/s +
+    # first compile — log around it so stalls are attributable.
+    log("clustered warm: placing edge/cell data + compiling fused step "
+        "(minutes over a tunneled backend)...")
+    t0 = time.perf_counter()
     sync(step(x, dev_args, params0, labels_train, wd, cw))
+    log(f"clustered warm: fused step ready ({time.perf_counter()-t0:.0f}s)")
+    t0 = time.perf_counter()
     sync(hops_only(x, dev_args))
+    log(f"clustered warm: hops program ready ({time.perf_counter()-t0:.0f}s)")
 
     t0 = time.perf_counter()
     params = step(x, dev_args, params0, labels_train, wd, cw)

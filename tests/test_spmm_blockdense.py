@@ -125,3 +125,20 @@ def test_min_edges_for_is_order_of_cell_flop_crossover():
     small = min_edges_for(128, 128, 64)
     big = min_edges_for(512, 512, 602)
     assert 0 < small < big
+
+
+def test_blockdense_mixed_duplicates_fix_only_dup_positions():
+    """Several duplicate groups interleaved with unique edges: dup
+    positions get f32 group sums, unique positions keep their values
+    (the fix-up must not disturb the fast-path scatter)."""
+    rows = np.array([0, 0, 0, 1, 2, 2, 2, 3], np.int64)
+    cols = np.array([1, 2, 2, 3, 0, 0, 1, 3], np.int64)
+    vals = np.array([0.5, 0.125, 0.25, 1.0, 0.75, 0.75, 2.0, 3.0],
+                    np.float32)
+    graph = SparseGraph.from_coo(rows, cols, vals, 4, 4, device=False)
+    split = split_block_dense(graph, 8, row_block=4, stripe=4, min_edges=0)
+    x = np.eye(4, 8, dtype=np.float32)
+    got = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    want = graph.to_scipy().tocsr().toarray() @ x  # scipy sums dups
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-2,
+                               atol=1e-3)
