@@ -85,6 +85,13 @@ def main() -> None:
                    "index maps + output revisiting) instead of manual-DMA")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--blockdense", action="store_true",
+                   help="also time the materialized block-dense "
+                        "formulation (ops/spmm_blockdense.py) on a "
+                        "CLUSTERED synthetic — the regime it targets")
+    p.add_argument("--clustered", action="store_true",
+                   help="use the community-clustered synthetic for all "
+                        "paths (default: uniform)")
     a = p.parse_args()
 
     import jax
@@ -100,12 +107,19 @@ def main() -> None:
     )
     from sgc_tpu.utils.profiling import sync
 
-    graph, features, _, _ = synthetic_reddit(a.scale)
+    if a.clustered or a.blockdense:
+        from sgc_tpu.data.synthetic import synthetic_reddit_clustered
+
+        graph, features, _, _ = synthetic_reddit_clustered(a.scale)
+    else:
+        graph, features, _, _ = synthetic_reddit(a.scale)
     x = jnp.asarray(features)
     n, f = features.shape
 
     out = {"backend": jax.default_backend(), "nodes": n,
-           "edges": graph.nnz, "features": f}
+           "edges": graph.nnz, "features": f,
+           "topology": "clustered" if (a.clustered or a.blockdense)
+           else "uniform"}
 
     def timeit(fn, *args):
         r = fn(*args)
@@ -150,6 +164,29 @@ def main() -> None:
         out["rel_err_vs_xla"] = err
     except Exception as e:
         out["pallas_error"] = str(e)[:500]
+
+    if a.blockdense:
+        from sgc_tpu.ops.spmm_blockdense import (
+            blockdense_device_args, split_block_dense, spmm_block_dense)
+
+        split = split_block_dense(graph, f)
+        out["blockdense_cells"] = split.n_cells
+        out["blockdense_dense_edges"] = split.dense_edges
+        out["blockdense_cell_gb"] = round(split.cell_bytes / 1e9, 3)
+        try:
+            args = blockdense_device_args(split)
+            bd = jax.jit(lambda xx, aa: spmm_block_dense(
+                split, xx, args=aa))
+            t_bd, r = timeit(bd, x, args)
+            out["blockdense_s"] = round(t_bd, 4)
+            out["blockdense_edges_per_s"] = int(graph.nnz / t_bd)
+            out["blockdense_vs_xla"] = round(t_seg / t_bd, 3)
+            err = float(
+                np.abs(np.asarray(r) - np.asarray(ref)).max()
+                / (np.abs(np.asarray(ref)).max() + 1e-9))
+            out["blockdense_rel_err_vs_xla"] = err
+        except Exception as e:
+            out["blockdense_error"] = str(e)[:500]
 
     if a.json:
         print(json.dumps(out))

@@ -317,6 +317,24 @@ def test_pallas_bench_cli_runs(monkeypatch, capsys):
     assert out["cost_model"]["flops"] > 0
 
 
+def test_pallas_bench_cli_blockdense(monkeypatch, capsys):
+    """--blockdense leg: clustered synthetic, bf16-cell matmul path."""
+    import json
+    import sys
+
+    from sgc_tpu.cli import pallas_bench
+
+    monkeypatch.setattr(sys, "argv", [
+        "pallas_bench", "--scale", "0.005", "--interpret",
+        "--blockdense", "--json",
+    ])
+    pallas_bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["topology"] == "clustered"
+    assert out["blockdense_cells"] > 0
+    assert out["blockdense_rel_err_vs_xla"] < 2e-2  # bf16 cells
+
+
 def test_sddmm_pallas_rectangular_graph():
     """Bipartite/rectangular pattern: a has n_rows nodes, b has n_cols —
     the column one-hot must be built against b's count (round-2 review
