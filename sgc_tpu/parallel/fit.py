@@ -63,6 +63,7 @@ def fit_sharded(
     weight_decay: float = 5e-6,
     seed: int = 42,
     use_halo: bool | None = True,
+    reorder: str | None = None,
 ):
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
 
@@ -73,9 +74,33 @@ def fit_sharded(
     the halo path's extra costs (pack gathers, P-1 peer messages,
     max-width padding across pairs) — halo must clearly win on volume
     before it is chosen.
+
+    ``reorder``: optional node ordering (any graph/reorder.py registry
+    name, e.g. "lpa") applied BEFORE row-block partitioning — contiguous
+    blocks then align with communities, shrinking the halo. Labels/
+    features/idx_train travel with their nodes; the returned params are
+    node-order-independent, so nothing needs restoring.
     """
     from sgc_tpu.models.sgc import SGCParams
     from sgc_tpu.parallel.halo import halo_fraction
+
+    if reorder is not None:
+        import scipy.sparse as sp
+
+        from sgc_tpu.graph.reorder import (apply_order, fetch_ordering,
+                                           remap_indices)
+
+        nnz = graph.nnz
+        adj = sp.coo_matrix(
+            (np.asarray(graph.vals)[:nnz],
+             (np.asarray(graph.rows)[:nnz], np.asarray(graph.cols)[:nnz])),
+            shape=(graph.n_rows, graph.n_cols)).tocsr()
+        order = fetch_ordering(reorder)(adj)
+        adj_p, features, labels = apply_order(
+            adj, order, np.asarray(features), np.asarray(labels))
+        idx_train = np.sort(remap_indices(order, np.asarray(idx_train)))
+        adj_p.sort_indices()
+        graph = SparseGraph.from_scipy(adj_p, device=False)
 
     if mesh is None:
         n_nodes_parts, n_feat_parts = default_mesh_shape(
