@@ -77,6 +77,22 @@ def main():
               f"halo {report.halo_fraction:.1%}, "
               f"train acc {report.train_accuracy:.3f}")
 
+    # --- 3c. locality pipeline: discover communities, matmul the dense --
+    from sgc_tpu.graph.locality import LocalityPlan
+
+    # shuffle node ids so LPA has to FIND the two communities
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(adj.shape[0])        # perm[old] = new id
+    inv = np.argsort(perm)                      # inv[new] = old id
+    adj_s = adj[inv][:, inv]                    # row new <- old inv[new]
+    g_s = SparseGraph.from_scipy(aug_normalized_adjacency(adj_s),
+                                 device=False)
+    plan = LocalityPlan.build(
+        g_s, np.asarray(x)[inv], y[inv], np.sort(perm[idx_train]),
+        row_block=128, stripe=128)
+    print(f"locality: {plan.split_main.n_cells} dense cells discovered "
+          f"from shuffled ids (dense frac {plan.dense_fraction:.0%})")
+
     # --- 3b. precompute-once, many heads: a wd grid in ONE program -------
     from sgc_tpu.train.loops import train_regression_many
 
