@@ -187,6 +187,24 @@ def main() -> None:
             out["blockdense_rel_err_vs_xla"] = err
         except Exception as e:
             out["blockdense_error"] = str(e)[:500]
+        try:
+            from sgc_tpu.ops.spmm_blockdense import spmm_blockdense_pallas
+
+            bdk = jax.jit(lambda xx, aa: spmm_blockdense_pallas(
+                split, xx, args=aa, interpret=interpret))
+            if interpret:
+                r = bdk(x, args)
+                sync(r)
+            else:
+                t_bdk, r = timeit(bdk, x, args)
+                out["blockdense_pallas_s"] = round(t_bdk, 4)
+                out["blockdense_pallas_vs_xla"] = round(t_seg / t_bdk, 3)
+            err = float(
+                np.abs(np.asarray(r) - np.asarray(ref)).max()
+                / (np.abs(np.asarray(ref)).max() + 1e-9))
+            out["blockdense_pallas_rel_err"] = err
+        except Exception as e:
+            out["blockdense_pallas_error"] = str(e)[:500]
 
     if a.json:
         print(json.dumps(out))

@@ -21,11 +21,14 @@ the same cost-model-split pattern as ops/spmm_hybrid.py.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from sgc_tpu.graph.sparse import SparseGraph
 from sgc_tpu.ops.spmm import spmm_segment
@@ -173,14 +176,20 @@ def split_block_dense(
         cells = cells.reshape(n_cells, row_block, stripe)
         rb_ids = (qualifying // n_st).astype(np.int32)
         st_ids = (qualifying % n_st).astype(np.int32)
-        # pad the cell list so the device scan has equal-size steps
+        # pad the cell list so the device scan has equal-size steps.
+        # Padding repeats the LAST cell's (rb, st) with a zero matrix:
+        # contributes nothing on any path AND keeps rb_ids
+        # non-decreasing — the Pallas kernel's output-revisiting
+        # contract (a pad rb of 0 would revisit block 0 at the end).
         chunk = min(CELL_CHUNK, 1 << (n_cells - 1).bit_length())
         pad = -n_cells % chunk
         if pad:
             cells = np.concatenate(
                 [cells, np.zeros((pad, row_block, stripe), cells.dtype)])
-            rb_ids = np.concatenate([rb_ids, np.zeros(pad, np.int32)])
-            st_ids = np.concatenate([st_ids, np.zeros(pad, np.int32)])
+            rb_ids = np.concatenate(
+                [rb_ids, np.full(pad, rb_ids[-1], np.int32)])
+            st_ids = np.concatenate(
+                [st_ids, np.full(pad, st_ids[-1], np.int32)])
 
     rest = None
     n_sparse = len(rows) - n_dense
@@ -208,6 +217,117 @@ def blockdense_device_args(split: BlockDenseSplit) -> tuple:
                  jnp.asarray(split.st_ids))
     rest = jax.device_put(split.rest) if split.rest is not None else None
     return (dense, rest)
+
+
+def _blockdense_kernel(
+    rb_ref,            # int32[n_cells] (SMEM, prefetched)
+    st_ref,            # int32[n_cells] (SMEM, prefetched)
+    a_ref,             # bf16[1, R, W] (VMEM block: cell k)
+    xs_ref,            # [W, Ft]      (VMEM block: stripe st[k], f-tile f)
+    out_ref,           # f32[R, Ft]   (VMEM block: row block rb[k], f-tile f)
+    *, mm_dtype,
+):
+    k = pl.program_id(1)
+
+    # first cell of a row block initializes the accumulator; the
+    # pipeline flushes it when rb[k] changes (rb is non-decreasing —
+    # split_block_dense sorts cells and pads with the last rb)
+    @pl.when((k == 0) | (rb_ref[k] != rb_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += jnp.dot(
+        a_ref[0].astype(mm_dtype), xs_ref[...].astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def spmm_blockdense_pallas(
+    split: BlockDenseSplit,
+    x: jnp.ndarray,
+    args: tuple | None = None,
+    feature_tile: int = 256,
+    interpret: bool | None = None,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """The dense cells as a Pallas kernel + segment remainder.
+
+    Same math as :func:`spmm_block_dense`'s scan path, but the stripe
+    gather and out-blocks never materialize in HBM: the block pipeline
+    streams A cells and x stripes into VMEM (scalar-prefetch index
+    maps, the mechanism `spmm_pallas_flat` compiles with on this
+    backend) and the output block revisits/accumulates per row block.
+    Removes the scan path's ~2x HBM-traffic overhead around the
+    matmuls (DESIGN §2e) — benchmark via `pallas_bench --blockdense`.
+    """
+    from sgc_tpu.ops.spmm_pallas import _default_interpret
+
+    if interpret is None:
+        interpret = _default_interpret()
+    if args is None:
+        args = blockdense_device_args(split)
+    dense, rest = args
+    if split.n_cells and dense is None:
+        raise ValueError("split has dense cells but args carry none")
+    if split.rest is not None and rest is None:
+        raise ValueError("split has a sparse remainder but args carry none")
+
+    parts = []
+    if split.n_cells:
+        cells, rb, st = dense
+        R, W = split.row_block, split.stripe
+        n_rb, n_st = split.n_row_blocks, split.n_stripes
+        mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        Ft = min(feature_tile, max(int(x.shape[1]), 128))
+        f_pad = (-x.shape[1]) % Ft
+        xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
+        n_ft = xp.shape[1] // Ft
+        n_total = int(cells.shape[0])
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_ft, n_total),
+            in_specs=[
+                pl.BlockSpec((1, R, W), lambda f, k, rb, st: (k, 0, 0)),
+                pl.BlockSpec((W, Ft), lambda f, k, rb, st: (st[k], f)),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, Ft), lambda f, k, rb, st: (rb[k], f),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            partial(_blockdense_kernel, mm_dtype=mm_dtype),
+            out_shape=jax.ShapeDtypeStruct((n_rb * R, xp.shape[1]),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * R * W * Ft * n_total * n_ft,
+                bytes_accessed=(
+                    (n_total * (R * W * 2 + W * Ft * 4)) * n_ft
+                    + n_rb * R * xp.shape[1] * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(rb, st, cells, xp)
+        # row blocks no cell visits leave their slots undefined
+        visited = np.zeros(n_rb, bool)
+        visited[np.unique(np.asarray(split.rb_ids))] = True
+        res = out[: split.n_rows, : x.shape[1]]
+        if not visited.all():
+            mask = jnp.asarray(
+                np.repeat(visited, R)[: split.n_rows])
+            res = jnp.where(mask[:, None], res, 0.0)
+        parts.append(res)
+    if rest is not None:
+        parts.append(spmm_segment(rest, x))
+    if not parts:
+        return jnp.zeros((split.n_rows, x.shape[1]), jnp.float32)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
 
 
 def spmm_block_dense(

@@ -142,3 +142,46 @@ def test_blockdense_mixed_duplicates_fix_only_dup_positions():
     want = graph.to_scipy().tocsr().toarray() @ x  # scipy sums dups
     np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-2,
                                atol=1e-3)
+
+
+def test_blockdense_pallas_matches_scan_path():
+    """The Pallas kernel form (streamed blocks, output revisiting) must
+    reproduce the scan/einsum path and the scipy oracle — interpret
+    mode on CPU."""
+    from sgc_tpu.ops.spmm_blockdense import spmm_blockdense_pallas
+
+    graph, x = _clustered(seed=5)
+    split = split_block_dense(graph, x.shape[1], row_block=128, stripe=128,
+                              min_edges=300)  # cross-community cells stay sparse
+    assert split.n_cells > 0 and split.rest is not None
+
+    got = np.asarray(spmm_blockdense_pallas(split, jnp.asarray(x),
+                                            interpret=True))
+    scan = np.asarray(spmm_block_dense(split, jnp.asarray(x)))
+    np.testing.assert_allclose(got, scan, rtol=1e-5, atol=1e-5)
+    want = graph.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(got, want, rtol=BF16_RTOL, atol=BF16_ATOL)
+
+
+def test_blockdense_pallas_unvisited_row_blocks_zero():
+    """A row range with no dense cell must come out exactly zero from
+    the kernel path (its output slots are never visited)."""
+    from sgc_tpu.ops.spmm_blockdense import spmm_blockdense_pallas
+
+    rng = np.random.default_rng(6)
+    n = 256
+    # edges only among the first 64 nodes -> row blocks 1..3 unvisited
+    r = rng.integers(0, 64, 800)
+    c = rng.integers(0, 64, 800)
+    adj = sp.coo_matrix((np.ones(800, np.float32), (r, c)), shape=(n, n))
+    graph = SparseGraph.from_scipy(adj.tocsr(), device=False)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    split = split_block_dense(graph, 16, row_block=64, stripe=64,
+                              min_edges=1)
+    assert split.rest is None  # everything dense
+    got = np.asarray(spmm_blockdense_pallas(split, jnp.asarray(x),
+                                            interpret=True))
+    want = graph.to_scipy().tocsr() @ x
+    # unnormalized ones-weights: bf16 x-rounding errors scale with |x|
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+    assert np.all(got[64:] == 0.0)
