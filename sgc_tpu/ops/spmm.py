@@ -101,10 +101,12 @@ def spmm(
     Args:
       graph: (n_rows, n_cols) sparse matrix as a row-sorted SparseGraph.
       x:     float[n_cols, F] dense features.
-      impl:  'auto' | 'segment' | 'chunked' | 'pallas' | 'hybrid'.
-             'pallas' and 'hybrid' do host-side tiling on first use, so
-             they need a concrete (non-traced) graph — call them outside
-             jit or close over a prebuilt tiling/split.
+      impl:  'auto' | 'segment' | 'chunked' | 'pallas' | 'hybrid' |
+             'blockdense'. 'pallas', 'hybrid' and 'blockdense' do
+             host-side tiling on first use, so they need a concrete
+             (non-traced) graph — call them outside jit or close over a
+             prebuilt tiling/split. 'blockdense' stores admitted cells
+             in bf16 (rounding-level, not f32-exact — DESIGN §2e).
 
     Returns:
       float32[n_rows, F].
@@ -137,6 +139,10 @@ def spmm(
         from sgc_tpu.ops.spmm_hybrid import spmm_hybrid
 
         return spmm_hybrid(graph, x)
+    if impl == "blockdense":
+        from sgc_tpu.ops.spmm_blockdense import spmm_blockdense
+
+        return spmm_blockdense(graph, x)
     raise ValueError(f"unknown spmm impl {impl!r}")
 
 

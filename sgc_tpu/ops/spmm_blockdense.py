@@ -392,3 +392,40 @@ def spmm_block_dense(
     for p in parts[1:]:
         out = out + p
     return out
+
+
+# Same keying discipline as spmm_hybrid._split_cached: repeated hops /
+# training calls must not re-split (O(E) host work + GBs of cells).
+_SPLIT_CACHE: dict = {}
+_SPLIT_CACHE_MAX = 4
+
+
+def _split_cached(graph: SparseGraph, n_features: int, row_block: int,
+                  stripe: int) -> BlockDenseSplit:
+    key = (id(graph.rows), id(graph.cols), id(graph.vals), graph.nnz,
+           n_features, row_block, stripe)
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    split = split_block_dense(graph, n_features, row_block, stripe)
+    if len(_SPLIT_CACHE) >= _SPLIT_CACHE_MAX:
+        _SPLIT_CACHE.pop(next(iter(_SPLIT_CACHE)))
+    # pin source buffers so their ids cannot be recycled while cached
+    _SPLIT_CACHE[key] = (graph.rows, graph.cols, graph.vals, split)
+    return split
+
+
+def spmm_blockdense(
+    graph: SparseGraph,
+    x: jnp.ndarray,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    stripe: int = DEFAULT_STRIPE,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """Drop-in block-dense SpMM: split on first use (cached), dispatch.
+
+    Needs a concrete graph (host tiling) — call outside jit or use
+    LocalityPlan/spmm_block_dense with prebuilt splits for traced code.
+    """
+    split = _split_cached(graph, int(x.shape[1]), row_block, stripe)
+    return spmm_block_dense(split, x, precision=precision)

@@ -185,3 +185,18 @@ def test_blockdense_pallas_unvisited_row_blocks_zero():
     # unnormalized ones-weights: bf16 x-rounding errors scale with |x|
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
     assert np.all(got[64:] == 0.0)
+
+
+def test_spmm_dispatcher_blockdense_impl():
+    """spmm(impl='blockdense') end-to-end with split caching."""
+    from sgc_tpu.ops import spmm_blockdense as mod
+    from sgc_tpu.ops.spmm import spmm
+
+    graph, x = _clustered(seed=12)
+    before = len(mod._SPLIT_CACHE)
+    a = np.asarray(spmm(graph, jnp.asarray(x), impl="blockdense"))
+    b = np.asarray(spmm(graph, jnp.asarray(x), impl="blockdense"))
+    assert len(mod._SPLIT_CACHE) == before + 1  # second call hit the cache
+    np.testing.assert_array_equal(a, b)
+    want = graph.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(a, want, rtol=BF16_RTOL, atol=BF16_ATOL)
