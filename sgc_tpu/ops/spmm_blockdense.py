@@ -65,8 +65,9 @@ class BlockDenseSplit:
     Arrays are host-resident (numpy); device placement happens once in
     :func:`blockdense_device_args` (same discipline as HybridSplit).
     ``cells`` is bf16 [n_cells_pad, R, W] with zero padding cells so the
-    scan length divides CELL_CHUNK; padded entries carry rb=st=0 and
-    contribute exact zeros.
+    scan length divides CELL_CHUNK; padded entries repeat the last
+    cell's (rb, st) — exact zeros on every path, and rb_ids stays
+    non-decreasing (the Pallas kernel's output-revisiting contract).
     """
 
     cells: np.ndarray             # bf16[n_cells_pad, R, W]
