@@ -193,8 +193,10 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
     graph, features, labels, idx_train = data
 
+    formulation = os.environ.get("SGC_BENCH_FORMULATION", "blockdense")
     t0 = time.perf_counter()
-    plan = LocalityPlan.build(graph, features, labels, idx_train)
+    plan = LocalityPlan.build(graph, features, labels, idx_train,
+                              formulation=formulation)
     prep_s = time.perf_counter() - t0
     s = plan.split_main
     extra = (f"cells {s.n_cells} ({s.cell_bytes / 1e9:.2f} GB bf16)"

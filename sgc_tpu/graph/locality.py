@@ -55,9 +55,10 @@ class LocalityPlan:
     labels: np.ndarray
     idx_train: np.ndarray         # positions in the reordered numbering
     order: np.ndarray             # order[new_pos] = old id
-    split_main: object            # HybridSplit for full hops
-    split_final: object           # HybridSplit for the train-row hop
+    split_main: object            # HybridSplit / BlockDenseSplit (full hops)
+    split_final: object           # same, for the train-row hop
     prep_seconds: dict            # per-stage host prep timing
+    formulation: str = "blockdense"  # dense-cell compute form (see build)
     # jit-program + device-placement cache: hop programs are built ONCE
     # per (precision, interpret) and edge arrays placed ONCE per plan —
     # rebuilding jit closures per call would retrace/recompile every
@@ -85,13 +86,18 @@ class LocalityPlan:
           matmuls (ops/spmm_blockdense.py; ~2x the one-hot kernel at
           Reddit-scale cell densities, DESIGN §2e). ``min_fill`` is
           ignored (admission is the per-cell edge-count crossover).
+        * ``blockdense_pallas`` — same split, computed by the streamed
+          Pallas kernel (no HBM materialization of gathered stripes /
+          out blocks; ~3x further headroom on a backend that compiles
+          scalar-prefetch index maps).
         * ``onehot`` — the Pallas flat-schedule one-hot kernel
           (ops/spmm_hybrid.py); f32-storage exact, no cell byte budget.
         """
         from sgc_tpu.ops.spmm_blockdense import split_block_dense
         from sgc_tpu.ops.spmm_hybrid import split_dense_cells
 
-        if formulation not in ("blockdense", "onehot"):
+        if formulation not in ("blockdense", "blockdense_pallas",
+                               "onehot"):
             raise ValueError(f"unknown formulation {formulation!r}")
 
         nnz = graph.nnz
@@ -123,7 +129,7 @@ class LocalityPlan:
 
         t0 = time.perf_counter()
         nf = int(features_p.shape[1])
-        if formulation == "blockdense":
+        if formulation.startswith("blockdense"):
             split_main = split_block_dense(graph_p, nf, row_block, stripe)
             split_final = split_block_dense(
                 graph_final, nf, row_block, stripe)
@@ -138,15 +144,14 @@ class LocalityPlan:
             graph=graph_p, graph_final=graph_final, features=features_p,
             labels=labels_p, idx_train=idx_p, order=order,
             split_main=split_main, split_final=split_final, prep_seconds=t,
+            formulation=formulation,
         )
 
     # ------------------------------------------------------------- compute
 
     @property
     def _blockdense(self) -> bool:
-        from sgc_tpu.ops.spmm_blockdense import BlockDenseSplit
-
-        return isinstance(self.split_main, BlockDenseSplit)
+        return self.formulation.startswith("blockdense")
 
     def _device_args(self):
         """Edge arrays placed on device ONCE per plan (jit arguments, not
@@ -165,6 +170,12 @@ class LocalityPlan:
 
     def _spmm_form(self, split, precision: str, interpret: bool | None):
         """(x, args) -> S@x for one split, under the plan's formulation."""
+        if self.formulation == "blockdense_pallas":
+            from sgc_tpu.ops.spmm_blockdense import spmm_blockdense_pallas
+
+            return lambda x, a: spmm_blockdense_pallas(
+                split, x, args=a, interpret=interpret,
+                precision=precision if precision == "f32" else "bf16")
         if self._blockdense:
             from sgc_tpu.ops.spmm_blockdense import spmm_block_dense
 

@@ -150,3 +150,14 @@ def test_hop_programs_and_placement_are_cached():
     _, a1 = plan.khop_traceable(interpret=True)
     _, a2 = plan.khop_traceable(interpret=True)
     assert a1 is a2
+
+
+def test_blockdense_pallas_formulation_matches_blockdense():
+    graph, x, labels, idx_train = _clustered(seed=13)
+    a = LocalityPlan.build(graph, x, labels, idx_train,
+                           formulation="blockdense")
+    b = LocalityPlan.build(graph, x, labels, idx_train,
+                           formulation="blockdense_pallas")
+    ya = np.asarray(a.propagate_train(degree=2, interpret=True))
+    yb = np.asarray(b.propagate_train(degree=2, interpret=True))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-5)
