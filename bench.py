@@ -262,6 +262,7 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         "prep_s": round(prep_s, 1),
         "graph": plan.graph,
         "n_features": int(plan.features.shape[1]),
+        "formulation": formulation,
     }
 
 
@@ -332,9 +333,11 @@ def main() -> None:
         out["data"] = "real_reddit"
     elif clustered is not None:
         out["data"] = (
-            "synthetic clustered (85% intra, 50 communities, shuffled ids; "
-            "lpa reorder + block-dense MXU/XLA split — real Reddit's regime)"
+            "synthetic clustered (85% intra, 50 communities, shuffled "
+            f"ids; lpa reorder + {clustered['formulation']} MXU/XLA "
+            "split — real Reddit's regime)"
         )
+        out["formulation"] = clustered["formulation"]
         out["dense_frac"] = round(clustered["dense_frac"], 3)
         out["host_prep_s"] = clustered["prep_s"]
     if uniform is not None:

@@ -40,7 +40,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
     data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
-    plan = LocalityPlan.build(*data)
+    plan = LocalityPlan.build(*data, formulation="onehot")
     split = plan.split_main
     dense = split.tiled  # TiledGraph of the admitted cells
     print(f"dense edges {split.dense_edges} cells grid "

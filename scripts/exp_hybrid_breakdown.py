@@ -43,7 +43,7 @@ def main():
     scale = float(os.environ.get("SGC_BENCH_SCALE", "1.0"))
     t0 = time.perf_counter()
     data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
-    plan = LocalityPlan.build(*data)
+    plan = LocalityPlan.build(*data, formulation="onehot")
     print(f"prep {time.perf_counter() - t0:.1f}s stages={plan.prep_seconds} "
           f"dense_frac {plan.dense_fraction:.3f}", flush=True)
     for name, s in (("main", plan.split_main), ("final", plan.split_final)):

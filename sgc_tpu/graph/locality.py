@@ -41,7 +41,7 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
-from sgc_tpu.graph.reorder import apply_order, fetch_ordering, remap_indices
+from sgc_tpu.graph.reorder import reorder_graph_arrays
 from sgc_tpu.graph.sparse import SparseGraph
 
 
@@ -99,29 +99,23 @@ class LocalityPlan:
         if formulation not in ("blockdense", "blockdense_pallas",
                                "onehot"):
             raise ValueError(f"unknown formulation {formulation!r}")
+        if min_fill is not None and formulation.startswith("blockdense"):
+            raise ValueError(
+                "min_fill is the one-hot admission knob; blockdense "
+                "admission is the per-cell edge-count crossover "
+                "(min_edges_for) — pass formulation='onehot' to use "
+                "min_fill")
 
-        nnz = graph.nnz
-        adj = sp.coo_matrix(
-            (np.asarray(graph.vals)[:nnz],
-             (np.asarray(graph.rows)[:nnz], np.asarray(graph.cols)[:nnz])),
-            shape=(graph.n_rows, graph.n_cols)).tocsr()
-
+        # shared recipe (graph/reorder.py): coo -> csr -> ordering ->
+        # permute -> presorted HOST-RESIDENT graph (eager device
+        # placement would round-trip the edge arrays over the tunneled
+        # backend — ~10x slower build)
         t = {}
         t0 = time.perf_counter()
-        order = fetch_ordering(ordering)(adj)
+        graph_p, features_p, labels_p, idx_p, order = reorder_graph_arrays(
+            graph, ordering, features, labels, idx_train)
         t["order_s"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        adj_p, features_p, labels_p = apply_order(
-            adj, order, np.asarray(features), np.asarray(labels))
-        idx_p = np.sort(remap_indices(order, np.asarray(idx_train)))
-        # host-resident: every consumer below is host-side (row_subgraph,
-        # tiling, cost-model split); device placement happens once in
-        # hybrid_device_args. Eager placement here would round-trip the
-        # edge arrays over the tunneled backend (~10x slower build).
-        adj_p.sort_indices()  # enables from_scipy's presorted fast path
-        graph_p = SparseGraph.from_scipy(adj_p, device=False)
-        t["apply_s"] = time.perf_counter() - t0
+        t["apply_s"] = 0.0  # folded into order_s by the shared helper
 
         t0 = time.perf_counter()
         graph_final = graph_p.row_subgraph(idx_p)

@@ -242,3 +242,30 @@ def fetch_ordering(name: str):
     if name not in ORDERINGS:
         raise ValueError(f"unknown ordering {name!r}; one of {list(ORDERINGS)}")
     return ORDERINGS[name]
+
+
+def reorder_graph_arrays(graph, name: str, features, labels, idx):
+    """Apply a registered ordering to a graph + node-aligned arrays.
+
+    One shared recipe (coo -> csr -> ordering -> permute -> presorted
+    host-resident SparseGraph) for every consumer — LocalityPlan.build
+    and parallel/fit.fit_sharded(reorder=) must not drift apart.
+    Returns ``(graph_p, features_p, labels_p, idx_p, order)`` with
+    ``graph_p`` host-resident (device=False) and ``idx_p`` sorted.
+    """
+    import scipy.sparse as sp_  # noqa: N813 (module-local alias)
+
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    nnz = graph.nnz
+    adj = sp_.coo_matrix(
+        (np.asarray(graph.vals)[:nnz],
+         (np.asarray(graph.rows)[:nnz], np.asarray(graph.cols)[:nnz])),
+        shape=(graph.n_rows, graph.n_cols)).tocsr()
+    order = fetch_ordering(name)(adj)
+    adj_p, features_p, labels_p = apply_order(
+        adj, order, np.asarray(features), np.asarray(labels))
+    idx_p = np.sort(remap_indices(order, np.asarray(idx)))
+    adj_p.sort_indices()  # enables from_scipy's presorted fast path
+    graph_p = SparseGraph.from_scipy(adj_p, device=False)
+    return graph_p, features_p, labels_p, idx_p, order

@@ -45,7 +45,17 @@ BLOCKDENSE_EFF_FLOPS = 2.6e13
 DEFAULT_ROW_BLOCK = 512
 DEFAULT_STRIPE = 512
 DEFAULT_BYTE_BUDGET = 4 << 30   # bf16 cell bytes per split
-CELL_CHUNK = 2048               # cells per scan step (bounds peak memory)
+# cells per scan step: bounds BOTH peak memory (per-step out blocks) AND
+# list padding waste (< CELL_CHUNK zero cells; at 512x512 bf16 that is
+# <= 134 MB / <= 255 wasted matmuls — a review finding showed 2048 could
+# nearly double the cell buffer at unlucky counts)
+CELL_CHUNK = 256
+
+
+def _scan_chunk(n_cells: int) -> int:
+    """Scan step size: CELL_CHUNK, or the covering power of two when
+    the cell list is smaller."""
+    return min(CELL_CHUNK, 1 << max(0, n_cells - 1).bit_length())
 
 
 def min_edges_for(row_block: int, stripe: int, n_features: int,
@@ -182,7 +192,7 @@ def split_block_dense(
         # contributes nothing on any path AND keeps rb_ids
         # non-decreasing — the Pallas kernel's output-revisiting
         # contract (a pad rb of 0 would revisit block 0 at the end).
-        chunk = min(CELL_CHUNK, 1 << (n_cells - 1).bit_length())
+        chunk = _scan_chunk(n_cells)
         pad = -n_cells % chunk
         if pad:
             cells = np.concatenate(
@@ -367,7 +377,7 @@ def spmm_block_dense(
         xb = xp.astype(mm_dtype).reshape(n_st, W, -1)
 
         n_total = cells.shape[0]
-        chunk = min(CELL_CHUNK, n_total)
+        chunk = _scan_chunk(split.n_cells)
         n_steps = n_total // chunk
         cells_s = cells.reshape(n_steps, chunk, R, W)
         rb_s = rb.reshape(n_steps, chunk)

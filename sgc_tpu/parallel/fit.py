@@ -85,22 +85,10 @@ def fit_sharded(
     from sgc_tpu.parallel.halo import halo_fraction
 
     if reorder is not None:
-        import scipy.sparse as sp
+        from sgc_tpu.graph.reorder import reorder_graph_arrays
 
-        from sgc_tpu.graph.reorder import (apply_order, fetch_ordering,
-                                           remap_indices)
-
-        nnz = graph.nnz
-        adj = sp.coo_matrix(
-            (np.asarray(graph.vals)[:nnz],
-             (np.asarray(graph.rows)[:nnz], np.asarray(graph.cols)[:nnz])),
-            shape=(graph.n_rows, graph.n_cols)).tocsr()
-        order = fetch_ordering(reorder)(adj)
-        adj_p, features, labels = apply_order(
-            adj, order, np.asarray(features), np.asarray(labels))
-        idx_train = np.sort(remap_indices(order, np.asarray(idx_train)))
-        adj_p.sort_indices()
-        graph = SparseGraph.from_scipy(adj_p, device=False)
+        graph, features, labels, idx_train, _ = reorder_graph_arrays(
+            graph, reorder, features, labels, idx_train)
 
     if mesh is None:
         n_nodes_parts, n_feat_parts = default_mesh_shape(
@@ -112,12 +100,14 @@ def fit_sharded(
 
     pgraph = partition_graph(graph, n_parts)
     # overlap=True: interior/boundary edge split so XLA hides the
-    # all_to_all behind the interior segment-sum (halo.py)
+    # all_to_all behind the interior segment-sum (halo.py). In auto
+    # mode, size with a plain plan FIRST — building (and device-placing)
+    # the split edge lists only to discard them above the 0.5 threshold
+    # wastes GBs at scale.
     if use_halo is None:
-        halo = build_halo(pgraph, overlap=True)
-        frac = halo_fraction(halo, pgraph)
-        if frac >= 0.5:
-            halo = None
+        sizing = build_halo(pgraph)
+        frac = halo_fraction(sizing, pgraph)
+        halo = build_halo(pgraph, overlap=True) if frac < 0.5 else None
     else:
         halo = build_halo(pgraph, overlap=True) if use_halo else None
         frac = halo_fraction(halo, pgraph) if halo is not None else 1.0

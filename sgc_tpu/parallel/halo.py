@@ -165,7 +165,10 @@ def build_halo(pgraph: PartitionedGraph,
 
     return HaloDescriptor(
         send_idx=jnp.asarray(send_idx),
-        cols_halo=jnp.asarray(cols_halo),
+        # the overlapped device path reads only send_idx + the split edge
+        # lists; keep cols_halo HOST-side then so the unused [P, E_max]
+        # array doesn't double edge storage on device
+        cols_halo=cols_halo if overlap else jnp.asarray(cols_halo),
         halo_width=H,
         n_parts=P,
         edges_int=edges_int,
