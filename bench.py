@@ -43,7 +43,10 @@ vs_baseline > 1 means faster than the reference GPU number.
 
 Env: SGC_BENCH_SCALE=<float> shrinks the synthetic problem for smoke
 runs; SGC_BENCH_TOPOLOGY=uniform|clustered|both (default both) selects
-which pipelines run.
+which pipelines run; SGC_BENCH_FORMULATION=auto|blockdense|
+blockdense_pallas|onehot (default auto: the compiled Pallas block-dense
+kernel when the backend's probe passes, else the scan form) pins the
+clustered dense-cell compute form.
 """
 
 from __future__ import annotations
@@ -193,7 +196,7 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         data = synthetic_reddit_clustered(scale, shuffle=True, device=False)
     graph, features, labels, idx_train = data
 
-    formulation = os.environ.get("SGC_BENCH_FORMULATION", "blockdense")
+    formulation = os.environ.get("SGC_BENCH_FORMULATION", "auto")
     t0 = time.perf_counter()
     plan = LocalityPlan.build(graph, features, labels, idx_train,
                               formulation=formulation)
@@ -262,7 +265,8 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         "prep_s": round(prep_s, 1),
         "graph": plan.graph,
         "n_features": int(plan.features.shape[1]),
-        "formulation": formulation,
+        # the RESOLVED form (auto -> blockdense_pallas|blockdense)
+        "formulation": plan.formulation,
     }
 
 

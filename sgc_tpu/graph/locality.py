@@ -77,28 +77,37 @@ class LocalityPlan:
         row_block: int = 512,
         stripe: int = 512,
         min_fill: float | None = None,
-        formulation: str = "blockdense",
+        formulation: str = "auto",
     ) -> "LocalityPlan":
         """Host-side, O(E log E); do once per graph, reuse across K/epochs.
 
         ``formulation`` picks the dense-cell compute form:
-        * ``blockdense`` (default) — materialized bf16 cells as REAL MXU
+        * ``auto`` (default) — ``blockdense_pallas`` when the backend
+          compiles scalar-prefetch index maps (a cached ~0.4 s probe,
+          ``ops.spmm_pallas.scalar_prefetch_compiles``; measured 0.278 s
+          vs 0.368 s full-scale clustered headline), else ``blockdense``.
+        * ``blockdense`` — materialized bf16 cells as REAL MXU
           matmuls (ops/spmm_blockdense.py; ~2x the one-hot kernel at
           Reddit-scale cell densities, DESIGN §2e). ``min_fill`` is
           ignored (admission is the per-cell edge-count crossover).
         * ``blockdense_pallas`` — same split, computed by the streamed
           Pallas kernel (no HBM materialization of gathered stripes /
-          out blocks; ~3x further headroom on a backend that compiles
-          scalar-prefetch index maps).
+          out blocks) — requires a backend that compiles
+          scalar-prefetch index maps.
         * ``onehot`` — the Pallas flat-schedule one-hot kernel
           (ops/spmm_hybrid.py); f32-storage exact, no cell byte budget.
         """
         from sgc_tpu.ops.spmm_blockdense import split_block_dense
         from sgc_tpu.ops.spmm_hybrid import split_dense_cells
 
-        if formulation not in ("blockdense", "blockdense_pallas",
+        if formulation not in ("auto", "blockdense", "blockdense_pallas",
                                "onehot"):
             raise ValueError(f"unknown formulation {formulation!r}")
+        if formulation == "auto":
+            from sgc_tpu.ops.spmm_pallas import scalar_prefetch_compiles
+
+            formulation = ("blockdense_pallas"
+                           if scalar_prefetch_compiles() else "blockdense")
         if min_fill is not None and formulation.startswith("blockdense"):
             raise ValueError(
                 "min_fill is the one-hot admission knob; blockdense "

@@ -537,6 +537,55 @@ def _default_interpret() -> bool:
     )
 
 
+_SCALAR_PREFETCH_COMPILES: bool | None = None
+
+
+def scalar_prefetch_compiles() -> bool:
+    """True iff the default backend COMPILES a scalar-prefetch-driven
+    BlockSpec index_map — the Mosaic mechanism behind both
+    :func:`spmm_pallas_flat` and ``spmm_blockdense_pallas``.
+
+    Some backends reject data-dependent addressing outright (the probe
+    fails fast with a compile error), so formulation auto-selection
+    (``LocalityPlan.build(formulation="auto")``) runs this tiny probe —
+    one 8-block permuted copy, ~0.4 s compile on a v5e — instead of
+    assuming. The verdict is cached per process. Off-TPU, and when
+    SGC_TPU_PALLAS_INTERPRET=1, returns False without probing
+    (interpret-mode kernels run but are never worth auto-selecting).
+    """
+    global _SCALAR_PREFETCH_COMPILES
+    if _default_interpret():
+        return False
+    if _SCALAR_PREFETCH_COMPILES is None:
+        nb, b, f = 8, 8, 128
+        x = jnp.arange(nb * b * f, dtype=jnp.float32).reshape(nb * b, f)
+        sel = jnp.asarray(
+            np.random.RandomState(0).permutation(nb), jnp.int32)
+
+        def kernel(sel_ref, x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 2.0
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((b, f), lambda i, s: (s[i], 0))],
+            out_specs=pl.BlockSpec((b, f), lambda i, s: (i, 0)),
+        )
+        fn = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * b, f), jnp.float32),
+        )
+        try:
+            got = np.asarray(jax.jit(fn)(sel, x))
+            want = (np.asarray(x).reshape(nb, b, f)[np.asarray(sel)]
+                    * 2.0).reshape(nb * b, f)
+            _SCALAR_PREFETCH_COMPILES = bool(np.allclose(got, want))
+        except Exception:  # compile helper exits 1 / Mosaic rejects
+            _SCALAR_PREFETCH_COMPILES = False
+    return _SCALAR_PREFETCH_COMPILES
+
+
 def spmm_pallas(
     graph: SparseGraph,
     x: jnp.ndarray,

@@ -161,3 +161,31 @@ def test_blockdense_pallas_formulation_matches_blockdense():
     ya = np.asarray(a.propagate_train(degree=2, interpret=True))
     yb = np.asarray(b.propagate_train(degree=2, interpret=True))
     np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_formulation_resolves_off_tpu_to_blockdense():
+    """'auto' (the default) must resolve via the scalar-prefetch probe:
+    off-TPU the probe short-circuits False (no compile attempted) and
+    the plan lands on the scan-form blockdense."""
+    from sgc_tpu.ops import spmm_pallas as sp_mod
+
+    graph, x, labels, idx_train = _clustered(seed=21)
+    plan = LocalityPlan.build(graph, x, labels, idx_train,
+                              formulation="auto")
+    assert plan.formulation == "blockdense"
+    # default formulation IS auto
+    plan2 = LocalityPlan.build(graph, x, labels, idx_train)
+    assert plan2.formulation == "blockdense"
+    assert sp_mod.scalar_prefetch_compiles() is False
+
+
+def test_auto_formulation_picks_pallas_when_probe_passes(monkeypatch):
+    """On a backend whose probe passes, auto selects the compiled
+    Pallas kernel form."""
+    from sgc_tpu.ops import spmm_pallas as sp_mod
+
+    monkeypatch.setattr(sp_mod, "scalar_prefetch_compiles", lambda: True)
+    graph, x, labels, idx_train = _clustered(seed=22)
+    plan = LocalityPlan.build(graph, x, labels, idx_train,
+                              formulation="auto")
+    assert plan.formulation == "blockdense_pallas"
