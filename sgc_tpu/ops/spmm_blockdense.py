@@ -160,22 +160,31 @@ def split_block_dense(
     st_ids = np.zeros(0, np.int32)
     if n_cells:
         kd = k[dense_mask]
-        rd = rows[dense_mask] % row_block
-        cd = cols[dense_mask] % stripe
+        rdm = rows[dense_mask]
+        cdm = cols[dense_mask]
         vd = vals[dense_mask]
-        flat_idx = kd * (row_block * stripe) + rd * stripe + cd
+        flat_idx = (kd * (row_block * stripe)
+                    + (rdm % row_block) * stripe + (cdm % stripe))
+        # pad the cell list so the device scan has equal-size steps —
+        # allocated UP FRONT: np.concatenate on the ml_dtypes bfloat16
+        # dtype is an element-wise cast loop, not memcpy (measured 27 s
+        # for a 2.5 GB append of 67 zero cells; exp_split_stages.py).
+        # Pre-sizing the buffer makes the pad cells free (already zero).
+        chunk = _scan_chunk(n_cells)
+        pad = -n_cells % chunk
         # flat bf16 scatter: per-element round-to-nearest, identical to
         # f32-build + astype, and ~100x faster at 5 GB scale (measured
         # 0.5s vs 33s assign + 22s astype — the f32 buffer doubles the
         # page-fault footprint)
-        cells = np.zeros(n_cells * row_block * stripe, np.dtype("bfloat16"))
+        cells = np.zeros(
+            (n_cells + pad) * row_block * stripe, np.dtype("bfloat16"))
         cells[flat_idx] = vd.astype(np.dtype("bfloat16"))
         # duplicates (rare: from_coo does not coalesce) must SUM, not
         # last-write-win. Sorted edges make them adjacent: fix up ONLY
         # the duplicated positions with f32 group sums (reduceat), so a
         # single dup doesn't forfeit the fast path or allocate a second
         # multi-GB f32 buffer.
-        key = (rows[dense_mask] << 32) | cols[dense_mask]
+        key = (rdm << 32) | cdm
         if len(key) > 1 and (key[1:] == key[:-1]).any():
             starts = np.flatnonzero(
                 np.concatenate(([True], key[1:] != key[:-1])))
@@ -184,19 +193,14 @@ def split_block_dense(
             sums = np.add.reduceat(vd, starts)[dup].astype(np.float32)
             cells[flat_idx[starts[dup]]] = sums.astype(
                 np.dtype("bfloat16"))
-        cells = cells.reshape(n_cells, row_block, stripe)
+        cells = cells.reshape(n_cells + pad, row_block, stripe)
         rb_ids = (qualifying // n_st).astype(np.int32)
         st_ids = (qualifying % n_st).astype(np.int32)
-        # pad the cell list so the device scan has equal-size steps.
         # Padding repeats the LAST cell's (rb, st) with a zero matrix:
         # contributes nothing on any path AND keeps rb_ids
         # non-decreasing — the Pallas kernel's output-revisiting
         # contract (a pad rb of 0 would revisit block 0 at the end).
-        chunk = _scan_chunk(n_cells)
-        pad = -n_cells % chunk
         if pad:
-            cells = np.concatenate(
-                [cells, np.zeros((pad, row_block, stripe), cells.dtype)])
             rb_ids = np.concatenate(
                 [rb_ids, np.full(pad, rb_ids[-1], np.int32)])
             st_ids = np.concatenate(
