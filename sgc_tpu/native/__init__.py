@@ -81,6 +81,15 @@ def _try_load():
         i64p, i64p, f32p, i64, i64, i64, i64, i32p, i32p, f32p,
     ]
     lib.partition_fill.restype = ctypes.c_int
+    # guarded: a pre-built stale .so (compiler vanished mid-session) may
+    # predate this entry point — fall back to the numpy twin then.
+    if hasattr(lib, "cell_scatter_bf16"):
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.cell_scatter_bf16.argtypes = [
+            i64p, i64p, f32p, i64, i64p, i64, i64, i64, u16p, u8p,
+        ]
+        lib.cell_scatter_bf16.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -285,6 +294,36 @@ def tile_fill(rows, cols, vals, cell, cell_start, counts, chunk: int,
         _p(r_out, _I32P), _p(c_out, _I32P), _p(v_out, _F32P),
     )
     return r_out, c_out, v_out
+
+
+def cell_scatter(rows, cols, vals, compact, n_st: int, row_block: int,
+                 stripe: int, cells_flat, mask):
+    """Fused dense-cell scatter for split_block_dense: writes
+    bf16(value) into ``cells_flat`` (pre-zeroed uint16 view of the
+    padded bf16 cell buffer) at each edge's cell-local position and sets
+    ``mask[i]=1`` for dense edges. Duplicate (row,col) runs — adjacent,
+    the inputs are (row,col)-sorted — are f32-summed left-to-right
+    before the single bf16 round, bitwise-matching the numpy
+    astype+reduceat twin in ops/spmm_blockdense.py. Returns False when
+    the library (or this entry point) is unavailable — the caller runs
+    the numpy twin."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "cell_scatter_bf16"):
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    compact = np.ascontiguousarray(compact, dtype=np.int64)
+    assert cells_flat.dtype == np.uint16 and cells_flat.flags.c_contiguous
+    assert mask.dtype == np.uint8 and mask.flags.c_contiguous
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cell_scatter_bf16(
+        _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P), len(rows),
+        _p(compact, _I64P), int(n_st), int(row_block), int(stripe),
+        _p(cells_flat, u16p), _p(mask, u8p),
+    )
+    return True
 
 
 def edge_counts(rows, n_parts: int, rows_per_part: int):

@@ -277,6 +277,71 @@ int tile_fill(const int64_t* rows, const int64_t* cols, const float* vals,
   return 0;
 }
 
+// f32 -> bf16 with round-to-nearest-even (matches ml_dtypes .astype);
+// NaN payload preserved via the quiet bit.
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  if ((u & 0x7FFFFFFFu) > 0x7F800000u) return (uint16_t)((u >> 16) | 0x0040);
+  return (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+}
+
+// Fused dense-cell scatter for split_block_dense (ops/spmm_blockdense.py):
+// for each (row,col)-sorted edge, map its (row_block, stripe) cell through
+// ``compact`` (cell id -> dense slot, -1 = sparse remainder), mark
+// ``mask``, and write bf16(value) at the cell-local position in ``cells``
+// (pre-zeroed, padded). Duplicate (row,col) runs — adjacent because the
+// edges are sorted — are summed in f32 left-to-right before the single
+// bf16 round, matching the numpy reduceat fix-up bitwise. Parallel over
+// edge ranges; each thread advances its start past a run that began in
+// the previous chunk so every duplicate run is owned by exactly one
+// thread (deterministic output, no write races).
+int cell_scatter_bf16(const int64_t* rows, const int64_t* cols,
+                      const float* vals, int64_t n_edges,
+                      const int64_t* compact, int64_t n_st,
+                      int64_t row_block, int64_t stripe,
+                      uint16_t* cells, uint8_t* mask) {
+  if (n_edges <= 0) return 0;
+  int n_threads = (int)std::max(1u, std::thread::hardware_concurrency());
+  if (n_edges < (1 << 20)) n_threads = 1;
+  const int64_t chunk = (n_edges + n_threads - 1) / n_threads;
+  const int64_t cell_sz = row_block * stripe;
+  auto work = [&](int t) {
+    int64_t s = (int64_t)t * chunk;
+    int64_t e = std::min(n_edges, s + chunk);
+    // skip a duplicate run continuing from the previous chunk
+    while (s > 0 && s < e && rows[s] == rows[s - 1] && cols[s] == cols[s - 1])
+      ++s;
+    int64_t i = s;
+    while (i < e) {
+      int64_t j = i + 1;
+      // a run may extend past e into the next chunk; consume it fully
+      while (j < n_edges && rows[j] == rows[i] && cols[j] == cols[i]) ++j;
+      const int64_t c = (rows[i] / row_block) * n_st + cols[i] / stripe;
+      const int64_t k = compact[c];
+      if (k >= 0) {
+        float sum = 0.0f;
+        for (int64_t m = i; m < j; ++m) sum += vals[m];
+        cells[k * cell_sz + (rows[i] % row_block) * stripe +
+              (cols[i] % stripe)] = f32_to_bf16(sum);
+        for (int64_t m = i; m < j; ++m) mask[m] = 1;
+      } else {
+        for (int64_t m = i; m < j; ++m) mask[m] = 0;
+      }
+      i = j;
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(work, t);
+    work(0);
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}
+
 // ----------------------------------------------------------- partitioning
 
 // Assign row-sorted edges to contiguous row blocks; writes per-part edge

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sgc_tpu import native
 from sgc_tpu.graph.sparse import SparseGraph
 from sgc_tpu.ops.spmm import spmm_segment
 from sgc_tpu.ops.spmm_hybrid import XLA_EDGES_PER_S
@@ -150,21 +151,13 @@ def split_block_dense(
 
     compact = np.full(len(counts), -1, np.int64)
     compact[qualifying] = np.arange(len(qualifying))
-    k = compact[cell]
-    dense_mask = k >= 0
-    n_dense = int(dense_mask.sum())
     n_cells = len(qualifying)
 
     cells = np.zeros((0, row_block, stripe), np.dtype("bfloat16"))
     rb_ids = np.zeros(0, np.int32)
     st_ids = np.zeros(0, np.int32)
+    dense_mask = np.zeros(len(rows), np.bool_)
     if n_cells:
-        kd = k[dense_mask]
-        rdm = rows[dense_mask]
-        cdm = cols[dense_mask]
-        vd = vals[dense_mask]
-        flat_idx = (kd * (row_block * stripe)
-                    + (rdm % row_block) * stripe + (cdm % stripe))
         # pad the cell list so the device scan has equal-size steps —
         # allocated UP FRONT: np.concatenate on the ml_dtypes bfloat16
         # dtype is an element-wise cast loop, not memcpy (measured 27 s
@@ -172,27 +165,46 @@ def split_block_dense(
         # Pre-sizing the buffer makes the pad cells free (already zero).
         chunk = _scan_chunk(n_cells)
         pad = -n_cells % chunk
-        # flat bf16 scatter: per-element round-to-nearest, identical to
-        # f32-build + astype, and ~100x faster at 5 GB scale (measured
-        # 0.5s vs 33s assign + 22s astype — the f32 buffer doubles the
-        # page-fault footprint)
         cells = np.zeros(
             (n_cells + pad) * row_block * stripe, np.dtype("bfloat16"))
-        cells[flat_idx] = vd.astype(np.dtype("bfloat16"))
-        # duplicates (rare: from_coo does not coalesce) must SUM, not
-        # last-write-win. Sorted edges make them adjacent: fix up ONLY
-        # the duplicated positions with f32 group sums (reduceat), so a
-        # single dup doesn't forfeit the fast path or allocate a second
-        # multi-GB f32 buffer.
-        key = (rdm << 32) | cdm
-        if len(key) > 1 and (key[1:] == key[:-1]).any():
-            starts = np.flatnonzero(
-                np.concatenate(([True], key[1:] != key[:-1])))
-            lengths = np.diff(np.append(starts, len(key)))
-            dup = lengths > 1
-            sums = np.add.reduceat(vd, starts)[dup].astype(np.float32)
-            cells[flat_idx[starts[dup]]] = sums.astype(
-                np.dtype("bfloat16"))
+        # fused native scatter (graphprep.cpp cell_scatter_bf16):
+        # flat-index + bf16 round + adjacent-duplicate f32 run-sums in
+        # one multithreaded pass, bitwise-equal to the numpy twin below
+        # (tests/test_native.py) — ~8 s -> <1 s per call at Reddit scale.
+        mask_u8 = np.empty(len(rows), np.uint8)
+        if native.cell_scatter(rows, cols, vals, compact, n_st,
+                               row_block, stripe, cells.view(np.uint16),
+                               mask_u8):
+            dense_mask = mask_u8.view(np.bool_)
+        else:
+            # numpy twin of the native pass
+            k = compact[cell]
+            dense_mask = k >= 0
+            kd = k[dense_mask]
+            rdm = rows[dense_mask]
+            cdm = cols[dense_mask]
+            vd = vals[dense_mask]
+            flat_idx = (kd * (row_block * stripe)
+                        + (rdm % row_block) * stripe + (cdm % stripe))
+            # flat bf16 scatter: per-element round-to-nearest, identical
+            # to f32-build + astype, and ~100x faster at 5 GB scale
+            # (measured 0.5s vs 33s assign + 22s astype — the f32
+            # buffer doubles the page-fault footprint)
+            cells[flat_idx] = vd.astype(np.dtype("bfloat16"))
+            # duplicates (rare: from_coo does not coalesce) must SUM,
+            # not last-write-win. Sorted edges make them adjacent: fix
+            # up ONLY the duplicated positions with f32 group sums
+            # (reduceat), so a single dup doesn't forfeit the fast path
+            # or allocate a second multi-GB f32 buffer.
+            key = (rdm << 32) | cdm
+            if len(key) > 1 and (key[1:] == key[:-1]).any():
+                starts = np.flatnonzero(
+                    np.concatenate(([True], key[1:] != key[:-1])))
+                lengths = np.diff(np.append(starts, len(key)))
+                dup = lengths > 1
+                sums = np.add.reduceat(vd, starts)[dup].astype(np.float32)
+                cells[flat_idx[starts[dup]]] = sums.astype(
+                    np.dtype("bfloat16"))
         cells = cells.reshape(n_cells + pad, row_block, stripe)
         rb_ids = (qualifying // n_st).astype(np.int32)
         st_ids = (qualifying % n_st).astype(np.int32)
@@ -207,6 +219,7 @@ def split_block_dense(
                 [st_ids, np.full(pad, st_ids[-1], np.int32)])
 
     rest = None
+    n_dense = int(dense_mask.sum())
     n_sparse = len(rows) - n_dense
     if n_sparse:
         rest = SparseGraph.from_coo(

@@ -266,3 +266,84 @@ def test_tile_fill_matches_numpy_twin_bitwise(monkeypatch):
     np.testing.assert_array_equal(fast.vals, slow.vals)
     np.testing.assert_array_equal(fast.cell_start, slow.cell_start)
     np.testing.assert_array_equal(fast.cell_nchunks, slow.cell_nchunks)
+
+
+def test_cell_scatter_matches_numpy_twin_bitwise(monkeypatch):
+    """Native fused cell scatter (flat idx + bf16 round + duplicate
+    run-sums) must reproduce the numpy astype+reduceat path EXACTLY —
+    same bf16 bits, same dense mask, same sparse remainder."""
+    import sgc_tpu.native as nat
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm_blockdense import split_block_dense
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(23)
+    n, e = 700, 9000
+    r = rng.integers(0, n, e)
+    c = rng.integers(0, n, e)
+    # inject duplicate (row, col) pairs — they must SUM before rounding
+    r[500:600] = r[100:200]
+    c[500:600] = c[100:200]
+    v = rng.standard_normal(e).astype(np.float32)
+    graph = SparseGraph.from_coo(r, c, v, n, n, device=False)
+
+    fast = split_block_dense(graph, 64, row_block=128, stripe=128,
+                             min_edges=0)
+    assert fast.n_cells > 0 and fast.sparse_edges == 0
+
+    monkeypatch.setattr(nat, "_try_load", lambda: None)
+    assert not nat.cell_scatter(r, c, v, r, 1, 128, 128,
+                                np.zeros(1, np.uint16),
+                                np.zeros(1, np.uint8))
+    slow = split_block_dense(graph, 64, row_block=128, stripe=128,
+                             min_edges=0)
+    np.testing.assert_array_equal(fast.cells.view(np.uint16),
+                                  slow.cells.view(np.uint16))
+    np.testing.assert_array_equal(fast.rb_ids, slow.rb_ids)
+    np.testing.assert_array_equal(fast.st_ids, slow.st_ids)
+    assert fast.dense_edges == slow.dense_edges
+    assert fast.sparse_edges == slow.sparse_edges
+
+
+def test_cell_scatter_sparse_remainder_parity(monkeypatch):
+    """With a real sparse remainder the native mask must route the same
+    edges to the same `rest` graph as the numpy twin."""
+    import sgc_tpu.native as nat
+    from sgc_tpu.ops.spmm_blockdense import split_block_dense
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(5)
+    n = 512
+    # one dense diagonal cell + scattered background
+    rd = rng.integers(0, 128, 4000)
+    cd = rng.integers(0, 128, 4000)
+    rs = rng.integers(0, n, 300)
+    cs = rng.integers(0, n, 300)
+    r = np.concatenate([rd, rs])
+    c = np.concatenate([cd, cs])
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    graph = SparseGraph.from_coo(r, c, v, n, n, device=False)
+
+    fast = split_block_dense(graph, 64, row_block=128, stripe=128,
+                             min_edges=1000)
+    assert fast.n_cells >= 1 and fast.sparse_edges > 0
+
+    monkeypatch.setattr(nat, "_try_load", lambda: None)
+    slow = split_block_dense(graph, 64, row_block=128, stripe=128,
+                             min_edges=1000)
+    np.testing.assert_array_equal(fast.cells.view(np.uint16),
+                                  slow.cells.view(np.uint16))
+    assert fast.sparse_edges == slow.sparse_edges
+    np.testing.assert_array_equal(
+        np.asarray(fast.rest.rows)[:fast.rest.nnz],
+        np.asarray(slow.rest.rows)[:slow.rest.nnz])
+    np.testing.assert_array_equal(
+        np.asarray(fast.rest.vals)[:fast.rest.nnz],
+        np.asarray(slow.rest.vals)[:slow.rest.nnz])
