@@ -3,6 +3,14 @@
 exp_prep_profile.py showed 93s tottime INSIDE split_block_dense (not in
 sub-calls) — this script replays each section with perf_counter around
 it to find the hot lines, so the fix targets the right statement.
+
+Findings (2026-08-19, full scale): the pad `np.concatenate` on the
+ml_dtypes bfloat16 dtype was 26.6s (element-wise cast loop, not
+memcpy) — fixed by pre-sizing the padded buffer; the remaining
+gather/flat-idx/scatter/dup-key chain (~8s) moved into the native
+`cell_scatter_bf16`. This script still replays the NUMPY stages (now
+the fallback twin), which is exactly what you want when re-diagnosing:
+the twin's per-line costs are the thing the native pass replaces.
 """
 import os
 import sys
