@@ -320,8 +320,11 @@ int cell_scatter_bf16(const int64_t* rows, const int64_t* cols,
       const int64_t c = (rows[i] / row_block) * n_st + cols[i] / stripe;
       const int64_t k = compact[c];
       if (k >= 0) {
-        float sum = 0.0f;
-        for (int64_t m = i; m < j; ++m) sum += vals[m];
+        // seed with the first element (not 0.0f): a single -0.0f edge
+        // must keep its sign bit, exactly like the numpy twin's astype
+        // (0.0f + -0.0f would round to +0.0 and diverge bitwise)
+        float sum = vals[i];
+        for (int64_t m = i + 1; m < j; ++m) sum += vals[m];
         cells[k * cell_sz + (rows[i] % row_block) * stripe +
               (cols[i] % stripe)] = f32_to_bf16(sum);
         for (int64_t m = i; m < j; ++m) mask[m] = 1;

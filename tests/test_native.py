@@ -279,6 +279,10 @@ def test_cell_scatter_matches_numpy_twin_bitwise(monkeypatch):
     if not nat.available():
         import pytest
         pytest.skip("native library not built")
+    # a stale .so without the symbol would make this test vacuous (fast
+    # silently falls back to the numpy twin and compares it with itself)
+    assert hasattr(nat._try_load(), "cell_scatter_bf16"), \
+        "stale libgraphprep.so: rebuild (missing cell_scatter_bf16)"
 
     rng = np.random.default_rng(23)
     n, e = 700, 9000
@@ -318,6 +322,8 @@ def test_cell_scatter_sparse_remainder_parity(monkeypatch):
     if not nat.available():
         import pytest
         pytest.skip("native library not built")
+    assert hasattr(nat._try_load(), "cell_scatter_bf16"), \
+        "stale libgraphprep.so: rebuild (missing cell_scatter_bf16)"
 
     rng = np.random.default_rng(5)
     n = 512
@@ -345,5 +351,36 @@ def test_cell_scatter_sparse_remainder_parity(monkeypatch):
         np.asarray(fast.rest.rows)[:fast.rest.nnz],
         np.asarray(slow.rest.rows)[:slow.rest.nnz])
     np.testing.assert_array_equal(
+        np.asarray(fast.rest.cols)[:fast.rest.nnz],
+        np.asarray(slow.rest.cols)[:slow.rest.nnz])
+    np.testing.assert_array_equal(
         np.asarray(fast.rest.vals)[:fast.rest.nnz],
         np.asarray(slow.rest.vals)[:slow.rest.nnz])
+
+
+def test_cell_scatter_negative_zero_bitwise(monkeypatch):
+    """A single -0.0f edge must keep its sign bit (bf16 0x8000): the
+    native accumulator seeds with the first element, not 0.0f, exactly
+    like the numpy twin's astype (ADVICE round-2 finding)."""
+    import sgc_tpu.native as nat
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm_blockdense import split_block_dense
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native library not built")
+    assert hasattr(nat._try_load(), "cell_scatter_bf16"), \
+        "stale libgraphprep.so: rebuild (missing cell_scatter_bf16)"
+
+    r = np.array([0, 1, 2], np.int64)
+    c = np.array([0, 1, 2], np.int64)
+    v = np.array([-0.0, 1.0, -0.0], np.float32)
+    graph = SparseGraph.from_coo(r, c, v, 8, 8, device=False)
+
+    fast = split_block_dense(graph, 4, row_block=8, stripe=8, min_edges=0)
+    monkeypatch.setattr(nat, "_try_load", lambda: None)
+    slow = split_block_dense(graph, 4, row_block=8, stripe=8, min_edges=0)
+    np.testing.assert_array_equal(fast.cells.view(np.uint16),
+                                  slow.cells.view(np.uint16))
+    # and the sign bit is actually there (not just twin==twin)
+    assert fast.cells.view(np.uint16).ravel()[0] == 0x8000
