@@ -358,6 +358,48 @@ def spmm_blockdense_pallas(
     return out
 
 
+def apply_cells_scan(
+    cells: jnp.ndarray,        # bf16[C, R, W], C a multiple of ``chunk``
+    rb_ids: jnp.ndarray,       # int32[C]
+    st_ids: jnp.ndarray,       # int32[C]
+    xb: jnp.ndarray,           # [n_st, W, F] striped dense operand
+    n_rb: int,
+    chunk: int,
+    mm_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """``sum_k cells[k] @ xb[st[k]]`` scattered into row blocks.
+
+    The scan form of the dense-cell term, shared by the single-chip
+    :func:`spmm_block_dense` and the sharded per-chip path
+    (parallel/blockdense.py — the same math applied to the local+halo
+    gather table inside shard_map). Returns f32[n_rb, R, F];
+    deterministic (fixed scan order + segment_sum f32 accumulation).
+    """
+    C, R, _ = cells.shape
+    F = xb.shape[2]
+    if C == 0:
+        return jnp.zeros((n_rb, R, F), jnp.float32)
+    if C % chunk:
+        raise ValueError(f"cell count {C} not a multiple of chunk {chunk}")
+    n_steps = C // chunk
+    cells_s = cells.reshape(n_steps, chunk, R, cells.shape[2])
+    rb_s = rb_ids.reshape(n_steps, chunk)
+    st_s = st_ids.reshape(n_steps, chunk)
+
+    def step(acc, inp):
+        a, rbi, sti = inp
+        xg = jnp.take(xb, sti, axis=0)              # [chunk, W, F]
+        out = jnp.einsum(
+            "crw,cwf->crf", a.astype(mm_dtype), xg.astype(mm_dtype),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.ops.segment_sum(out, rbi, num_segments=n_rb)
+        return acc, None
+
+    acc0 = jnp.zeros((n_rb, R, F), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (cells_s, rb_s, st_s))
+    return acc
+
+
 def spmm_block_dense(
     split: BlockDenseSplit,
     x: jnp.ndarray,
@@ -392,25 +434,9 @@ def spmm_block_dense(
         mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, 0)))
         xb = xp.astype(mm_dtype).reshape(n_st, W, -1)
-
-        n_total = cells.shape[0]
-        chunk = _scan_chunk(split.n_cells)
-        n_steps = n_total // chunk
-        cells_s = cells.reshape(n_steps, chunk, R, W)
-        rb_s = rb.reshape(n_steps, chunk)
-        st_s = st.reshape(n_steps, chunk)
-
-        def step(acc, inp):
-            a, rbi, sti = inp
-            xg = jnp.take(xb, sti, axis=0)          # [chunk, W, F]
-            out = jnp.einsum(
-                "crw,cwf->crf", a.astype(mm_dtype), xg,
-                preferred_element_type=jnp.float32)
-            acc = acc + jax.ops.segment_sum(out, rbi, num_segments=n_rb)
-            return acc, None
-
-        acc0 = jnp.zeros((n_rb, R, x.shape[1]), jnp.float32)
-        acc, _ = jax.lax.scan(step, acc0, (cells_s, rb_s, st_s))
+        acc = apply_cells_scan(
+            cells, rb, st, xb, n_rb, _scan_chunk(split.n_cells),
+            mm_dtype=mm_dtype)
         parts.append(acc.reshape(n_rb * R, -1)[: split.n_rows])
     if rest is not None:
         parts.append(spmm_segment(rest, x))

@@ -47,6 +47,8 @@ class FitReport:
     n_devices: int
     n_parts: int
     halo_fraction: float
+    formulation: str = "segment"
+    dense_fraction: float = 0.0
 
 
 def fit_sharded(
@@ -64,8 +66,22 @@ def fit_sharded(
     seed: int = 42,
     use_halo: bool | None = True,
     reorder: str | None = None,
+    formulation: str = "auto",
+    row_block: int = 512,
+    stripe: int = 512,
 ):
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
+
+    ``formulation`` picks the sharded propagation kernel:
+    * ``auto`` (default) — block-dense when the halo exchange is chosen
+      (the plan embeds its own all_to_all; its per-cell admission
+      degrades gracefully to the segment math on structureless graphs),
+      else the segment path.
+    * ``blockdense`` — force the sharded block-dense formulation
+      (parallel/blockdense.py: dense-cell MXU matmuls + segment
+      remainder, interior overlapped with the halo exchange). Requires
+      a halo plan; overrides ``use_halo=False``.
+    * ``segment`` — the gather/segment-sum kernel (round-1 path).
 
     ``use_halo``: True = boundary all_to_all exchange, False = all-gather,
     None = auto — build the plan and pick halo when the halo fraction is
@@ -98,27 +114,60 @@ def fit_sharded(
     n_parts = mesh.shape[NODES_AXIS]
     n_feat_parts = mesh.shape[FEAT_AXIS]
 
+    if formulation not in ("auto", "blockdense", "segment"):
+        raise ValueError(f"unknown formulation {formulation!r}")
+
     pgraph = partition_graph(graph, n_parts)
     # overlap=True: interior/boundary edge split so XLA hides the
     # all_to_all behind the interior segment-sum (halo.py). In auto
     # mode, size with a plain plan FIRST — building (and device-placing)
     # the split edge lists only to discard them above the 0.5 threshold
-    # wastes GBs at scale.
-    if use_halo is None:
-        sizing = build_halo(pgraph)
-        frac = halo_fraction(sizing, pgraph)
-        halo = build_halo(pgraph, overlap=True) if frac < 0.5 else None
+    # wastes GBs at scale. The blockdense formulation embeds its own
+    # exchange, so it needs only the plain (non-overlapped) descriptor.
+    if formulation == "blockdense":
+        # the plan embeds its own exchange; only the plain descriptor is
+        # needed (overrides use_halo=False — documented above)
+        halo = build_halo(pgraph)
+        frac = halo_fraction(halo, pgraph)
     else:
-        halo = build_halo(pgraph, overlap=True) if use_halo else None
-        frac = halo_fraction(halo, pgraph) if halo is not None else 1.0
+        sizing = None
+        if use_halo is None:
+            sizing = build_halo(pgraph)
+            frac = halo_fraction(sizing, pgraph)
+            want_halo = frac < 0.5
+        else:
+            want_halo = bool(use_halo)
+            frac = None  # computed below once a plan exists
+        if formulation == "auto":
+            formulation = "blockdense" if want_halo else "segment"
+        if not want_halo:
+            halo = None
+            frac = 1.0
+        elif formulation == "blockdense":
+            halo = sizing if sizing is not None else build_halo(pgraph)
+        else:
+            halo = build_halo(pgraph, overlap=True)
+        if frac is None:
+            frac = halo_fraction(halo, pgraph)
 
     x = jnp.asarray(np.asarray(features, np.float32))
     x = pad_feature_dim(x, 8 * n_feat_parts)
     x = pad_node_rows(x, pgraph.n_rows_padded)
     x = shard_features(mesh, x)
 
+    blockdense = None
+    dense_fraction = 0.0
+    if formulation == "blockdense":
+        from sgc_tpu.parallel.blockdense import build_sharded_blockdense
+
+        blockdense = build_sharded_blockdense(
+            pgraph, halo, int(x.shape[1]) // n_feat_parts,
+            row_block=row_block, stripe=stripe)
+        dense_fraction = blockdense.dense_fraction
+
     # one-time sharded propagation (halo-exchanged SpMM hops)
-    x = propagate_sharded(mesh, pgraph, x, degree, halo=halo)
+    x = propagate_sharded(mesh, pgraph, x, degree, halo=halo,
+                          blockdense=blockdense)
 
     y = np.zeros(pgraph.n_rows_padded, np.int32)
     y[: len(labels)] = np.asarray(labels, np.int32)
@@ -165,5 +214,7 @@ def fit_sharded(
         n_devices=len(mesh.devices.ravel()),
         n_parts=n_parts,
         halo_fraction=frac,
+        formulation=formulation,
+        dense_fraction=dense_fraction,
     )
     return params, report

@@ -39,7 +39,8 @@ def _local_spmm(rows_local, cols, vals, x_full, rows_per_part):
 
 
 def spmm_sharded(
-    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, halo=None
+    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, halo=None,
+    blockdense=None, precision: str = "bf16",
 ) -> jnp.ndarray:
     """One sharded SpMM hop: returns S @ x with the same sharding as x.
 
@@ -51,6 +52,13 @@ def spmm_sharded(
       halo:   optional HaloDescriptor (parallel.halo.build_halo) — exchange
               only boundary rows via all_to_all instead of the full
               all-gather. Wins when halo_fraction(halo, pgraph) < 1.
+      blockdense: optional ShardedBlockDense (parallel.blockdense) — run
+              the per-chip hop through the block-dense formulation
+              (dense-cell MXU matmuls + segment remainder, interior
+              overlapped with the halo all_to_all). Supersedes ``halo``:
+              the plan embeds its own exchange. ``precision`` controls
+              the matmul cast ("bf16" default; "f32" for CPU-exact
+              parity tests) and applies to the blockdense path only.
     """
     if pgraph.n_parts != mesh.shape[NODES_AXIS]:
         raise ValueError(
@@ -59,6 +67,32 @@ def spmm_sharded(
         )
 
     edge_spec = P(NODES_AXIS, None)
+
+    if blockdense is not None:
+        from sgc_tpu.parallel.blockdense import (
+            blockdense_exchange_and_spmm,
+            blockdense_flat_args,
+            blockdense_in_specs,
+        )
+
+        def body_bd(args, x_local):
+            return blockdense_exchange_and_spmm(
+                blockdense, tuple(a[0] for a in args), x_local,
+                precision=precision,
+            )
+
+        fn = shard_map(
+            body_bd,
+            mesh=mesh,
+            in_specs=(blockdense_in_specs(blockdense),
+                      P(NODES_AXIS, FEAT_AXIS)),
+            out_specs=P(NODES_AXIS, FEAT_AXIS),
+            # the cell scan's zero-initialized carry is unvarying while
+            # the body output varies over the mesh — same relaxation as
+            # make_sharded_train_step
+            check_vma=False,
+        )
+        return fn(blockdense_flat_args(blockdense), x)
 
     if halo is not None and halo.overlapped:
         from sgc_tpu.parallel.halo import exchange_and_spmm_overlapped
@@ -119,11 +153,13 @@ def spmm_sharded(
 
 
 def propagate_sharded(
-    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None
+    mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None,
+    blockdense=None, precision: str = "bf16",
 ) -> jnp.ndarray:
     """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static."""
     for _ in range(degree):
-        x = spmm_sharded(mesh, pgraph, x, halo=halo)
+        x = spmm_sharded(mesh, pgraph, x, halo=halo,
+                         blockdense=blockdense, precision=precision)
     return x
 
 

@@ -76,6 +76,8 @@ def make_sharded_train_step(
     lr: float = 0.2,
     weight_decay: float = 0.0,
     halo=None,
+    blockdense=None,
+    precision: str = "bf16",
 ):
     """Build a jitted SPMD train step closed over the partitioned graph.
 
@@ -83,31 +85,46 @@ def make_sharded_train_step(
     regime / the driver's multi-chip dry run); with ``degree == 0`` the step
     consumes already-propagated features (the SGC precompute workflow).
 
+    Propagation variants (degree > 0): ``blockdense`` (a ShardedBlockDense
+    plan — the fast dense-cell formulation, interior overlapped with the
+    halo all_to_all) supersedes ``halo``; an overlapped HaloDescriptor
+    runs the interior/boundary-split segment kernel; a plain one runs the
+    single-exchange kernel; neither falls back to all-gather.
+    ``precision`` controls the blockdense matmul cast only.
+
     Returns ``step(state, x, labels, mask) -> (state, loss)``.
     """
     tx = torch_adam(lr, weight_decay)
     rows_per_part = pgraph.rows_per_part
 
-    def body(w, b, mu, nu, count, rows_l, cols, vals, send_idx, x, labels,
-             mask):
-        rows_l, cols, vals = rows_l[0], cols[0], vals[0]
+    def _hop(graph_local, x):
+        if blockdense is not None:
+            from sgc_tpu.parallel.blockdense import (
+                blockdense_exchange_and_spmm,
+            )
 
+            return blockdense_exchange_and_spmm(
+                blockdense, graph_local, x, precision=precision)
+        if halo is not None and halo.overlapped:
+            from sgc_tpu.parallel.halo import exchange_and_spmm_overlapped
+
+            ri, ci, vi, rb, cb, vb, si = graph_local
+            return exchange_and_spmm_overlapped(
+                (ri, ci, vi), (rb, cb, vb), si, x, rows_per_part)
         if halo is not None:
             from sgc_tpu.parallel.halo import exchange_and_spmm
 
-            # cols here are halo-buffer positions (HaloDescriptor layout):
-            # per hop, exchange only boundary rows over ICI
-            si = send_idx[0]
-            for _ in range(degree):
-                x = exchange_and_spmm(
-                    rows_l, cols, vals, si, x, rows_per_part
-                )
-        else:
-            for _ in range(degree):
-                x_full = jax.lax.all_gather(
-                    x, NODES_AXIS, axis=0, tiled=True
-                )
-                x = _local_spmm(rows_l, cols, vals, x_full, rows_per_part)
+            rows_l, cols, vals, si = graph_local
+            return exchange_and_spmm(
+                rows_l, cols, vals, si, x, rows_per_part)
+        rows_l, cols, vals = graph_local
+        x_full = jax.lax.all_gather(x, NODES_AXIS, axis=0, tiled=True)
+        return _local_spmm(rows_l, cols, vals, x_full, rows_per_part)
+
+    def body(w, b, mu, nu, count, graph_args, x, labels, mask):
+        graph_local = tuple(a[0] for a in graph_args)
+        for _ in range(degree):
+            x = _hop(graph_local, x)
 
         denom = jax.lax.psum(jnp.sum(mask), NODES_AXIS)
 
@@ -159,6 +176,26 @@ def make_sharded_train_step(
     edge_spec = P(NODES_AXIS, None)
     w_spec = P(FEAT_AXIS, None)
     b_spec = P(None)
+    send_spec = P(NODES_AXIS, None, None)
+    if blockdense is not None:
+        from sgc_tpu.parallel.blockdense import (
+            blockdense_flat_args,
+            blockdense_in_specs,
+        )
+
+        graph_args = blockdense_flat_args(blockdense)
+        graph_specs = blockdense_in_specs(blockdense)
+    elif halo is not None and halo.overlapped:
+        graph_args = (*halo.edges_int, *halo.edges_bnd, halo.send_idx)
+        graph_specs = (edge_spec,) * 6 + (send_spec,)
+    elif halo is not None:
+        graph_args = (pgraph.rows_local, halo.cols_halo, pgraph.vals,
+                      halo.send_idx)
+        graph_specs = (edge_spec,) * 3 + (send_spec,)
+    else:
+        graph_args = (pgraph.rows_local, pgraph.cols, pgraph.vals)
+        graph_specs = (edge_spec,) * 3
+
     sharded_body = shard_map(
         body,
         mesh=mesh,
@@ -167,8 +204,7 @@ def make_sharded_train_step(
             SGCParams(w=w_spec, b=b_spec),                    # mu
             SGCParams(w=w_spec, b=b_spec),                    # nu
             P(),                                              # count
-            edge_spec, edge_spec, edge_spec,                  # graph
-            P(NODES_AXIS, None, None),                        # halo send_idx
+            graph_specs,                                      # graph
             P(NODES_AXIS, FEAT_AXIS),                         # x
             P(NODES_AXIS), P(NODES_AXIS),                     # labels, mask
         ),
@@ -185,15 +221,9 @@ def make_sharded_train_step(
     @jax.jit
     def step(state: ShardedTrainState, x, labels, mask):
         count, mu, nu = _flatten_opt(state.opt_state)
-        edge_cols = halo.cols_halo if halo is not None else pgraph.cols
-        send_idx = (
-            halo.send_idx if halo is not None
-            else jnp.zeros((pgraph.n_parts, pgraph.n_parts, 1), jnp.int32)
-        )
         w, b, mu, nu, count, loss = sharded_body(
             state.params.w, state.params.b, mu, nu, count,
-            pgraph.rows_local, edge_cols, pgraph.vals, send_idx,
-            x, labels, mask,
+            graph_args, x, labels, mask,
         )
         opt_state = tuple(
             optax.ScaleByAdamState(count=count, mu=mu, nu=nu)

@@ -164,3 +164,30 @@ def test_fit_sharded_reorder_cuts_halo_and_matches_accuracy():
         rep_lpa.halo_fraction, rep_plain.halo_fraction)
     assert rep_lpa.train_accuracy >= rep_plain.train_accuracy - 0.02
     assert rep_lpa.train_accuracy > 0.9
+
+
+def test_fit_sharded_default_runs_blockdense():
+    """formulation="auto" + halo => the fast block-dense formulation IS
+    the sharded path (VERDICT round-2 #5), with quality preserved."""
+    graph, x, y, idx_train, c = _task(seed=3)
+    mesh = make_mesh(4, 2)
+    params, report = fit_sharded(
+        graph, x, y, idx_train, c,
+        mesh=mesh, degree=2, epochs=60, lr=0.2, weight_decay=0.0,
+        row_block=32, stripe=32,
+    )
+    assert report.formulation == "blockdense"
+    assert report.dense_fraction > 0.5  # clustered: most edges on MXU
+    assert report.train_accuracy > 0.9
+
+
+def test_fit_sharded_segment_formulation_unchanged():
+    graph, x, y, idx_train, c = _task(seed=4)
+    mesh = make_mesh(4, 1)
+    params, report = fit_sharded(
+        graph, x, y, idx_train, c,
+        mesh=mesh, degree=2, epochs=60, formulation="segment",
+    )
+    assert report.formulation == "segment"
+    assert report.dense_fraction == 0.0
+    assert report.train_accuracy > 0.9
