@@ -178,6 +178,82 @@ def run_uniform_segment(scale: float) -> dict:
     }
 
 
+def measure_roofline(plan, x, dispatch_s: float) -> dict:
+    """Per-term timing of the main-split hop: dense cells vs segment
+    remainder, combined with exact byte/flop accounting into %HBM and
+    %MXU (VERDICT round-2 #2/#3; sgc_tpu/ops/roofline.py)."""
+    import dataclasses as dc
+
+    import jax
+
+    from sgc_tpu.ops import roofline as rf
+    from sgc_tpu.ops.spmm_blockdense import (
+        spmm_block_dense,
+        spmm_blockdense_pallas,
+    )
+    from sgc_tpu.utils.profiling import sync
+
+    split = plan.split_main
+    if not hasattr(split, "cells"):
+        return {}
+    args_main, _ = plan._device_args()
+    dense_args, rest_args = args_main
+    pallas_form = plan.formulation == "blockdense_pallas"
+
+    def timed(fn, *a, reps=2):
+        sync(fn(*a))  # warm/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(fn(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dense_split = dc.replace(split, rest=None, sparse_edges=0)
+    rest_split = dc.replace(split, n_cells=0, dense_edges=0)
+    if pallas_form:
+        dense_fn = jax.jit(lambda xx, a: spmm_blockdense_pallas(
+            dense_split, xx, args=(a, None), interpret=False))
+    else:
+        dense_fn = jax.jit(lambda xx, a: spmm_block_dense(
+            dense_split, xx, args=(a, None)))
+    rest_fn = jax.jit(lambda xx, a: spmm_block_dense(
+        rest_split, xx, args=(None, a)))
+
+    dense_s = timed(dense_fn, x, dense_args) if split.n_cells else 0.0
+    rest_s = timed(rest_fn, x, rest_args) if split.rest is not None else 0.0
+    rep = rf.roofline_report(
+        split, int(x.shape[1]), dense_s, rest_s, dispatch_s=dispatch_s,
+        form="pallas" if pallas_form else "scan")
+    log(f"roofline: dense {dense_s*1e3:.0f}ms "
+        f"({rep['dense']['achieved_gbps']} GB/s, "
+        f"{rep['dense']['hbm_frac']:.0%} HBM, "
+        f"{rep['dense']['mxu_frac_padded']:.0%} MXU padded)  "
+        f"remainder {rest_s*1e3:.0f}ms ({rep['remainder']['edges']} edges, "
+        f"{rep['remainder']['edges_per_s']/1e6:.0f}M edges/s)  "
+        f"dispatch {dispatch_s*1e3:.0f}ms")
+    return rep
+
+
+def measure_dispatch_floor() -> float:
+    """Round-trip time of a trivial device program — the per-program
+    latency floor every timed region above pays (DESIGN §2d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgc_tpu.utils.profiling import sync
+
+    fn = jax.jit(lambda v: v * 2.0 + 1.0)
+    v = jnp.ones((8, 128), jnp.float32)
+    sync(fn(v))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(fn(v))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_clustered_hybrid(scale: float, data=None) -> dict:
     """Realistic-topology pipeline: community structure discovered by LPA
     reordering, edges split by measured cost model between the one-hot
@@ -197,9 +273,14 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
     graph, features, labels, idx_train = data
 
     formulation = os.environ.get("SGC_BENCH_FORMULATION", "auto")
+    # measured admission rates (cached micro-probe; VERDICT round-2 #4)
+    from sgc_tpu.ops.calibrate import measured_rates
+
+    rates = measured_rates()
+    log(f"admission rates: {rates}")
     t0 = time.perf_counter()
     plan = LocalityPlan.build(graph, features, labels, idx_train,
-                              formulation=formulation)
+                              formulation=formulation, calibrate=True)
     prep_s = time.perf_counter() - t0
     s = plan.split_main
     extra = (f"cells {s.n_cells} ({s.cell_bytes / 1e9:.2f} GB bf16)"
@@ -256,6 +337,16 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         f"clustered: hops {t_pre:.3f}s ({edges / t_pre / 1e6:.0f} M edges/s)"
         f"  total {total:.3f}s"
     )
+
+    # per-term roofline (dense vs remainder vs dispatch floor) — makes
+    # "fast" auditable and names the next bottleneck in the JSON itself
+    dispatch_s = measure_dispatch_floor()
+    try:
+        roofline = measure_roofline(plan, x, dispatch_s)
+    except Exception as exc:  # instrumentation must not kill the bench
+        log(f"roofline failed: {exc}")
+        roofline = {}
+
     return {
         "total_s": total,
         "precompute_s": t_pre,
@@ -263,6 +354,10 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
         "edges_per_s": edges / t_pre,
         "dense_frac": plan.dense_fraction,
         "prep_s": round(prep_s, 1),
+        "prep_stages": {k: round(v, 2)
+                        for k, v in plan.prep_seconds.items()},
+        "admission_rates": rates,
+        "roofline": roofline,
         "graph": plan.graph,
         "n_features": int(plan.features.shape[1]),
         # the RESOLVED form (auto -> blockdense_pallas|blockdense)
@@ -344,6 +439,17 @@ def main() -> None:
         out["formulation"] = clustered["formulation"]
         out["dense_frac"] = round(clustered["dense_frac"], 3)
         out["host_prep_s"] = clustered["prep_s"]
+    if clustered is not None:
+        # reproducibility block (VERDICT round-2 #2): per-stage prep in
+        # the JSON itself, plus the environment facts prep depends on
+        from sgc_tpu import native
+
+        out["prep_seconds"] = clustered["prep_stages"]
+        out["native_available"] = native.available()
+        out["nproc"] = os.cpu_count()
+        out["admission_rates"] = clustered["admission_rates"]
+        if clustered.get("roofline"):
+            out["roofline"] = clustered["roofline"]
     if uniform is not None:
         out["uniform_segment_s"] = round(uniform["total_s"], 4)
         out["vs_baseline_uniform"] = round(

@@ -54,6 +54,7 @@ def synthetic_reddit_clustered(
     intra: float = 0.85,
     shuffle: bool = False,
     device: bool = True,
+    tail: str = "sq",
 ):
     """Reddit-dimension synthetic with community structure.
 
@@ -85,11 +86,19 @@ def synthetic_reddit_clustered(
     is_intra = rng.random(m) < intra
     n_in = int(is_intra.sum())
 
-    # intra edges: squared-uniform skew WITHIN the community (hub posts)
+    # intra edges: hub skew WITHIN the community. Default "sq" is the
+    # squared-uniform skew; "powerlaw" draws hub ranks from a clipped
+    # zipf(1.5) — a much heavier tail (top node holds ~38% of intra
+    # endpoints) for topology-sensitivity stress tests
+    # (scripts/exp_topology_sweep.py, VERDICT round-2 #4).
     comm = rng.integers(0, communities, n_in)
     base = comm * comm_size
-    src_in = base + ((rng.random(n_in) ** 2 * comm_size).astype(np.int64)
-                     % comm_size)
+    if tail == "powerlaw":
+        hub = np.minimum(rng.zipf(1.5, n_in) - 1, comm_size - 1)
+        src_in = base + hub
+    else:
+        src_in = base + ((rng.random(n_in) ** 2 * comm_size)
+                         .astype(np.int64) % comm_size)
     dst_in = base + rng.integers(0, comm_size, n_in)
     # inter edges: uniform pairs (the sparse remainder)
     src_out = rng.integers(0, n, m - n_in)

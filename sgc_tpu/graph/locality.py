@@ -78,6 +78,7 @@ class LocalityPlan:
         stripe: int = 512,
         min_fill: float | None = None,
         formulation: str = "auto",
+        calibrate: bool = False,
     ) -> "LocalityPlan":
         """Host-side, O(E log E); do once per graph, reuse across K/epochs.
 
@@ -96,6 +97,11 @@ class LocalityPlan:
           scalar-prefetch index maps.
         * ``onehot`` — the Pallas flat-schedule one-hot kernel
           (ops/spmm_hybrid.py); f32-storage exact, no cell byte budget.
+
+        ``calibrate=True`` replaces the committed admission constants
+        with rates measured on THIS backend (a cached ~1 s micro-probe,
+        :func:`sgc_tpu.ops.calibrate.measured_rates`) — the blockdense
+        per-cell crossover then reflects the actual machine.
         """
         from sgc_tpu.ops.spmm_blockdense import split_block_dense
         from sgc_tpu.ops.spmm_hybrid import split_dense_cells
@@ -133,9 +139,20 @@ class LocalityPlan:
         t0 = time.perf_counter()
         nf = int(features_p.shape[1])
         if formulation.startswith("blockdense"):
-            split_main = split_block_dense(graph_p, nf, row_block, stripe)
+            min_edges = None
+            if calibrate:
+                from sgc_tpu.ops.calibrate import measured_rates
+                from sgc_tpu.ops.spmm_blockdense import min_edges_for
+
+                rates = measured_rates()
+                min_edges = min_edges_for(
+                    row_block, stripe, nf,
+                    eff_flops=rates["blockdense_eff_flops"],
+                    xla_edges_per_s=rates["xla_edges_per_s"])
+            split_main = split_block_dense(
+                graph_p, nf, row_block, stripe, min_edges=min_edges)
             split_final = split_block_dense(
-                graph_final, nf, row_block, stripe)
+                graph_final, nf, row_block, stripe, min_edges=min_edges)
         else:
             split_main = split_dense_cells(
                 graph_p, nf, row_block, stripe, min_fill=min_fill)
