@@ -185,9 +185,16 @@ def fit_sharded(
     )
 
     losses = []
-    for _ in range(epochs):
+    for i in range(epochs):
         state, loss = step(state, x, y, m)
         losses.append(loss)          # stay async: no per-epoch host sync
+        if (i + 1) % 16 == 0:
+            # drain the dispatch queue every 16 epochs: ~unbounded
+            # async depth floods XLA:CPU's in-process communicator
+            # (stuck-collective watchdog SIGABRTs the virtual mesh at
+            # cora scale); on hardware this costs a handful of host
+            # round-trips per fit
+            float(fetch_global(loss))
     losses = [float(fetch_global(l)) for l in losses]
 
     # pull params to host (replicate the TP-sharded W; collective when

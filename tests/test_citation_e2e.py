@@ -181,3 +181,83 @@ def test_train_regression_many_matches_sequential():
     w0 = np.asarray(jax.tree.map(lambda a: a[0], many).w)
     w2 = np.asarray(jax.tree.map(lambda a: a[2], many).w)
     assert np.abs(w0 - w2).max() > 1e-4
+
+
+@requires_cora
+@pytest.mark.parametrize("formulation", ["blockdense", "blockdense_pallas"])
+def test_cora_golden_through_blockdense_default_path(formulation):
+    """End-metric parity THROUGH the default fast path (VERDICT round-2
+    #5): the full locality pipeline (LPA reorder -> per-cell admission ->
+    bf16 cell matmuls / Pallas kernel in interpret mode) must train to
+    the same cora golden as the segment path — bf16 cell storage must
+    not move the final accuracy."""
+    import jax
+
+    from sgc_tpu.graph.locality import LocalityPlan
+    from sgc_tpu.models.sgc import init_sgc, sgc_apply
+    from sgc_tpu.train.loops import train_regression
+    from sgc_tpu.train.metrics import accuracy
+    from sgc_tpu.utils.config import CitationConfig
+    from sgc_tpu.utils.seeding import set_seed
+
+    cfg = CitationConfig(dataset="cora", tuned=True).resolve()
+    key = set_seed(cfg.seed)
+    data = load_citation("cora")
+    plan = LocalityPlan.build(
+        data.graph, np.asarray(data.features),
+        np.asarray(data.labels), np.asarray(data.idx_train),
+        row_block=256, stripe=256, formulation=formulation)
+    assert plan.split_main.n_cells > 0
+
+    # interpret mode makes the Pallas form runnable on CPU
+    feats_all = plan.propagate_all(
+        degree=cfg.degree, interpret=True, restore=True)
+    params = init_sgc(key, data.features.shape[1], data.n_classes)
+    params, _ = train_regression(
+        params, feats_all[data.idx_train], data.labels[data.idx_train],
+        cfg.epochs, cfg.weight_decay, cfg.lr)
+    acc = float(accuracy(
+        sgc_apply(params, feats_all[data.idx_test]),
+        data.labels[data.idx_test]))
+    assert acc >= 0.805, f"{formulation}: {acc}"
+
+
+@requires_cora
+def test_cora_sharded_blockdense_matches_segment_end_metric():
+    """The SHARDED fast formulation (fit_sharded auto -> blockdense on
+    the 8-device virtual mesh) must reach the SAME cora test accuracy as
+    the sharded segment formulation — bf16 cells must not move the end
+    metric (VERDICT round-2 #5, multi-chip face). Both run the same
+    fit_sharded pipeline, so the comparison isolates the kernel."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.ops.propagate import propagate
+    from sgc_tpu.parallel.fit import fit_sharded
+    from sgc_tpu.parallel.mesh import make_mesh
+    from sgc_tpu.train.metrics import accuracy
+    from sgc_tpu.utils.config import CitationConfig
+
+    cfg = CitationConfig(dataset="cora", tuned=True).resolve()
+    data = load_citation("cora")
+    feats = propagate(data.features, data.graph, cfg.degree)
+
+    accs = {}
+    for form in ("segment", "blockdense"):
+        params, report = fit_sharded(
+            data.graph, np.asarray(data.features),
+            np.asarray(data.labels), np.asarray(data.idx_train),
+            data.n_classes,
+            mesh=make_mesh(4, 2), degree=cfg.degree, epochs=cfg.epochs,
+            lr=cfg.lr, weight_decay=cfg.weight_decay, seed=cfg.seed,
+            formulation=form, row_block=256, stripe=256,
+        )
+        assert report.formulation == form
+        if form == "blockdense":
+            assert report.dense_fraction > 0.3
+        w = jnp.asarray(np.asarray(params.w)[: data.features.shape[1]])
+        logits = (feats[data.idx_test] @ w
+                  + jnp.asarray(np.asarray(params.b)))
+        accs[form] = float(accuracy(logits, data.labels[data.idx_test]))
+
+    assert accs["blockdense"] >= 0.78, accs      # sane absolute floor
+    assert abs(accs["blockdense"] - accs["segment"]) <= 0.005, accs
