@@ -35,6 +35,7 @@ def run(
     fold: int | None = None,
     class_weights: bool = False,
     feat_cache: str | None = None,
+    impl: str = "auto",
 ) -> dict:
     cfg = cfg.resolve()
     key = set_seed(cfg.seed)
@@ -56,7 +57,7 @@ def run(
         precompute_time = 0.0
     else:
         feat_dict, precompute_time = text_structural_features(
-            data.graph, data.index_dict, degree=cfg.degree
+            data.graph, data.index_dict, degree=cfg.degree, impl=impl
         )
         if feat_cache:
             save_features(feat_cache, feat_dict)
@@ -119,6 +120,11 @@ def main() -> None:
                         help="cross-validation fold index")
     parser.add_argument("--class_weights", action="store_true")
     parser.add_argument("--data_path", default=None)
+    parser.add_argument("--impl", default="auto",
+                        choices=["auto", "dense", "sparse", "blockdense"],
+                        help="S^{K-1} hop formulation for the structural "
+                             "precompute (blockdense = locality cells + "
+                             "segment remainder)")
     args = parser.parse_args()
 
     cfg = TextConfig(
@@ -137,6 +143,7 @@ def main() -> None:
         fold=args.fold,
         class_weights=args.class_weights,
         feat_cache=args.feat_cache,
+        impl=args.impl,
     )
     print(
         "Total Time: {:2f}s, Train acc: {:.4f}, Val acc: {:.4f}, "

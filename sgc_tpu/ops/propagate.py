@@ -287,6 +287,36 @@ def text_structural_features(
             phase: _dense_hops_then_transpose(s_dense, d, degree - 1)
             for phase, d in slices.items()
         }
+    elif impl == "blockdense" and degree > 1:
+        # block-dense cells + segment remainder for the S^{K-1} hops —
+        # the locality formulation on the doc-word graph (VERDICT
+        # round-2 #6; cli/textsgc --impl blockdense). The bipartite B/C
+        # blocks spread mass broadly, so admission decides per cell;
+        # a mostly-sparse split degrades to the segment path.
+        from sgc_tpu.ops.spmm_blockdense import (
+            blockdense_device_args,
+            spmm_block_dense,
+            split_block_dense,
+        )
+
+        slices = {p: _sliced_columns(graph, i) for p, i in index_dict.items()}
+        width = max(int(d.shape[1]) for d in slices.values())
+        split = split_block_dense(graph, width)
+        args = blockdense_device_args(split)
+
+        @jax.jit
+        def _bd_hops_then_transpose(d, a):
+            for _ in range(degree - 1):
+                d = spmm_block_dense(split, d, args=a)
+            return d.T
+
+        for d in slices.values():
+            _bd_hops_then_transpose.lower(d, args).compile()
+        t = perf_counter()
+        per_phase = {
+            phase: _bd_hops_then_transpose(d, args)
+            for phase, d in slices.items()
+        }
     else:
         sp_impl = "auto" if impl in ("auto", "dense", "sparse") else impl
         slices = {p: _sliced_columns(graph, i) for p, i in index_dict.items()}

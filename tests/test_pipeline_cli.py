@@ -308,3 +308,38 @@ def test_per_fold_tuning_cli(tiny_corpus, monkeypatch, capsys):
         data_path=str(out), results_dir=None,
     )
     assert summary["accuracy_mean"] > 0.7
+
+
+def test_textsgc_blockdense_impl_matches_sparse(tiny_corpus):
+    """--impl blockdense (locality cells + segment remainder on the
+    doc-word graph; VERDICT round-2 #6) reproduces the sparse path's
+    structural features to bf16 cell tolerance and trains to the same
+    accuracy."""
+    import numpy as np
+
+    from sgc_tpu.cli.build_graph import build_and_export
+    from sgc_tpu.cli.textsgc import run
+    from sgc_tpu.data.textcorpus import load_corpus
+    from sgc_tpu.ops.propagate import text_structural_features
+    from sgc_tpu.utils.config import TextConfig
+
+    meta, corpus, out = tiny_corpus
+    build_and_export(
+        str(meta), str(corpus), "tiny", str(out), window=5, val_fraction=0.2
+    )
+    data = load_corpus("tiny", subset="BCD", data_path=str(out))
+    f_sparse, _ = text_structural_features(
+        data.graph, data.index_dict, degree=2, impl="sparse")
+    f_bd, _ = text_structural_features(
+        data.graph, data.index_dict, degree=2, impl="blockdense")
+    for phase in f_sparse:
+        a, b = np.asarray(f_sparse[phase]), np.asarray(f_bd[phase])
+        assert a.shape == b.shape
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 2e-2, phase
+
+    res = run(
+        TextConfig(dataset="tiny", epochs=3, weight_decay=0.0, degree=2),
+        subset="BCD", data_path=str(out), impl="blockdense",
+    )
+    assert res["test_accuracy"] > 0.9
