@@ -165,7 +165,12 @@ def split_block_dense(
         # Pre-sizing the buffer makes the pad cells free (already zero).
         chunk = _scan_chunk(n_cells)
         pad = -n_cells % chunk
-        cells = np.zeros(
+        # hugepage-backed: plain np.zeros first-touch faults cost ~27us/
+        # page once the process holds a few GB (utils/alloc.py) — at
+        # 2.7 GB that was 15-30 s of the round-2 "host prep" variance
+        from sgc_tpu.utils.alloc import zeros_hugepage
+
+        cells = zeros_hugepage(
             (n_cells + pad) * row_block * stripe, np.dtype("bfloat16"))
         # fused native scatter (graphprep.cpp cell_scatter_bf16):
         # flat-index + bf16 round + adjacent-duplicate f32 run-sums in

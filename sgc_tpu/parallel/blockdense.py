@@ -137,7 +137,11 @@ def _pad_cells(per_part: list, n_rb_hint: int):
     width = _round_up(c_max, chunk)
     P = len(per_part)
     rb0, w0 = per_part[0][0].shape[1], per_part[0][0].shape[2]
-    cells = np.zeros((P, width, rb0, w0), np.dtype("bfloat16"))
+    from sgc_tpu.utils.alloc import zeros_hugepage
+
+    cells = zeros_hugepage(
+        P * width * rb0 * w0, np.dtype("bfloat16")
+    ).reshape(P, width, rb0, w0)
     rb = np.zeros((P, width), np.int32)
     st = np.zeros((P, width), np.int32)
     for p, (c, r, s) in enumerate(per_part):

@@ -1,0 +1,56 @@
+"""Hugepage-backed staging buffers (utils/alloc.py)."""
+
+import numpy as np
+
+from sgc_tpu.utils.alloc import zeros_hugepage
+
+
+def test_zeros_hugepage_small_and_large():
+    small = zeros_hugepage(1024, np.float32)
+    assert small.shape == (1024,) and (small == 0).all()
+    big = zeros_hugepage(80 << 20, np.dtype("bfloat16"))  # 160 MB
+    assert big.nbytes == (80 << 20) * 2
+    assert big.flags.c_contiguous and big.flags.writeable
+    v = big.view(np.uint16)
+    assert (v[:: 1 << 16] == 0).all()
+    v[7] = 0x8000                 # writable through the view
+    assert v[7] == 0x8000
+
+
+def test_zeros_hugepage_feeds_split_block_dense():
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm_blockdense import split_block_dense
+
+    rng = np.random.default_rng(0)
+    n, e = 512, 4000
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.standard_normal(e).astype(np.float32), n, n, device=False)
+    split = split_block_dense(g, 16, row_block=128, stripe=128, min_edges=0)
+    assert split.n_cells > 0
+    assert split.cells.dtype == np.dtype("bfloat16")
+
+
+def test_zeros_hugepage_pool_reuses_freed_buffers():
+    import sgc_tpu.utils.alloc as alloc
+
+    n = (70 << 20)  # 140 MB of uint16 — above the pooling threshold
+    a = alloc.zeros_hugepage(n, np.uint16)
+    a[5] = 3
+    base_id = id(a.base)
+    del a
+    b = alloc.zeros_hugepage(n, np.uint16)
+    # same backing mmap reused, and rezeroed
+    assert id(b.base) == base_id
+    assert b[5] == 0
+
+    # a LIVE array must never be handed out again
+    c = alloc.zeros_hugepage(n, np.uint16)
+    assert id(c.base) != id(b.base)
+    # views keep the weakref target alive (reshape chain)
+    view = b.reshape(-1, 1 << 10)
+    del b
+    d = alloc.zeros_hugepage(n, np.uint16)
+    assert id(d.base) != id(view.base.base if view.base.base is not None
+                            else view.base)
+    assert view[0, 0] == 0  # still valid memory
