@@ -415,6 +415,10 @@ def main() -> None:
             head["graph"], head["n_features"], 8,
             head["edges_per_s"], build_plan=False,
         )
+        # the rate being projected is the formulation the sharded code
+        # actually runs (parallel/blockdense.py since round 3 — the
+        # round-2 projection used a rate the sharded path couldn't hit)
+        model["rate_formulation"] = head.get("formulation", "segment")
     except Exception as exc:  # model failure must not kill the bench
         log(f"comm model failed: {exc}")
         model = {}

@@ -28,8 +28,13 @@ import numpy as np
 
 _RATES: dict | None = None
 
-PROBE_CELLS = 64          # bf16 cells streamed by the matmul probe
-PROBE_EDGES = 200_000     # edges in the segment-path probe
+# Two sizes per probe: the RATE comes from the (work2 - work1) /
+# (time2 - time1) difference, cancelling the fixed per-dispatch latency
+# (23 ms over a tunneled backend — a single small probe would be
+# dispatch-dominated and underestimate the rate ~30x, which round-3
+# measured the hard way: admission rejected every cell).
+PROBE_CELLS = (64, 1024)  # bf16 cells streamed by the matmul probe
+PROBE_EDGES = (200_000, 1_600_000)  # segment-path probe edges
 PROBE_F = 256             # feature width for both probes
 
 
@@ -46,11 +51,24 @@ def _cache_path() -> str:
     return os.path.join(root, f"rates-{jax.default_backend()}-{kind}.json")
 
 
+def _timed_best(fn, *args, reps: int = 3) -> float:
+    """Min of ``reps`` sync-closed timings (fn already warmed)."""
+    from sgc_tpu.utils.profiling import sync
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _probe_blockdense_eff_flops(row_block: int = 512,
                                 stripe: int = 512) -> float:
     """Effective flop rate of the streamed cell-matmul path, INCLUDING
     gather/scatter HBM traffic around the matmuls (the number
-    min_edges_for divides by)."""
+    min_edges_for divides by). Differenced over two cell counts to
+    cancel the per-dispatch latency."""
     import jax
     import jax.numpy as jnp
 
@@ -63,36 +81,38 @@ def _probe_blockdense_eff_flops(row_block: int = 512,
     from sgc_tpu.utils.profiling import sync
 
     rng = np.random.default_rng(0)
-    n_rb = 8
-    n = n_rb * row_block
-    # PROBE_CELLS dense cells scattered over an (n_rb x n_rb) block grid
-    ci = rng.integers(0, n_rb, PROBE_CELLS)
-    cj = rng.integers(0, n_rb, PROBE_CELLS)
-    rows = (ci[:, None] * row_block
-            + rng.integers(0, row_block, (PROBE_CELLS, 64))).ravel()
-    cols = (cj[:, None] * stripe
-            + rng.integers(0, stripe, (PROBE_CELLS, 64))).ravel()
-    vals = rng.random(rows.size).astype(np.float32)
-    g = SparseGraph.from_coo(rows, cols, vals, n, n, device=False)
-    split = split_block_dense(g, PROBE_F, row_block, stripe, min_edges=0)
-    x = jnp.asarray(rng.random((n, PROBE_F)).astype(np.float32))
-    args = blockdense_device_args(split)
-    fn = jax.jit(lambda xx, a: spmm_block_dense(split, xx, args=a))
-    sync(fn(x, args))  # compile + place
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        out = fn(x, args)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
     f_pad = -(-PROBE_F // 128) * 128
-    flops = 2.0 * split.n_cells * row_block * stripe * f_pad
-    return flops / dt
+    times, flops = [], []
+    for n_cells in PROBE_CELLS:
+        n_rb = 8
+        n = max(n_rb, -(-n_cells // n_rb)) * row_block
+        n_grid = n // row_block
+        ci = rng.integers(0, n_grid, n_cells)
+        cj = rng.integers(0, n_grid, n_cells)
+        rows = (ci[:, None] * row_block
+                + rng.integers(0, row_block, (n_cells, 64))).ravel()
+        cols = (cj[:, None] * stripe
+                + rng.integers(0, stripe, (n_cells, 64))).ravel()
+        vals = rng.random(rows.size).astype(np.float32)
+        g = SparseGraph.from_coo(rows, cols, vals, n, n, device=False)
+        split = split_block_dense(g, PROBE_F, row_block, stripe,
+                                  min_edges=0)
+        x = jnp.asarray(rng.random((n, PROBE_F)).astype(np.float32))
+        args = blockdense_device_args(split)
+        fn = jax.jit(lambda xx, a, s=split: spmm_block_dense(s, xx, args=a))
+        sync(fn(x, args))  # compile + place
+        times.append(_timed_best(fn, x, args))
+        flops.append(2.0 * split.n_cells * row_block * stripe * f_pad)
+    dt = times[1] - times[0]
+    if dt <= 0:
+        raise RuntimeError("probe sizes not separable (dispatch noise)")
+    return (flops[1] - flops[0]) / dt
 
 
 def _probe_xla_edges_per_s() -> float:
     """Gather/segment-sum path edge rate (the wall the admission model
-    compares against)."""
+    compares against). Differenced over two edge counts to cancel the
+    per-dispatch latency."""
     import jax
     import jax.numpy as jnp
 
@@ -101,22 +121,27 @@ def _probe_xla_edges_per_s() -> float:
     from sgc_tpu.utils.profiling import sync
 
     rng = np.random.default_rng(1)
-    n = 65_536
-    rows = np.sort(rng.integers(0, n, PROBE_EDGES))
-    cols = rng.integers(0, n, PROBE_EDGES)
-    vals = rng.random(PROBE_EDGES).astype(np.float32)
-    g = SparseGraph.from_coo(rows, cols, vals, n, n, device=False)
-    x = jnp.asarray(rng.random((n, PROBE_F)).astype(np.float32))
-    gd = jax.device_put(g)
-    fn = jax.jit(lambda gg, xx: spmm_segment(gg, xx))
-    sync(fn(gd, x))
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        out = fn(gd, x)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
-    return g.nnz / dt
+    # Reddit-like gather-table size: the segment rate is strongly
+    # table-size dependent (measured 61M edges/s at 65K x 256 but
+    # 34-38M at 233K x 602 — cache locality), and the admission model
+    # must reflect the operating point, not an L2-friendly toy.
+    n = 229_376
+    x = jnp.asarray(rng.random((n, 2 * PROBE_F)).astype(np.float32))
+    times, edges = [], []
+    for n_edges in PROBE_EDGES:
+        rows = np.sort(rng.integers(0, n, n_edges))
+        cols = rng.integers(0, n, n_edges)
+        vals = rng.random(n_edges).astype(np.float32)
+        g = SparseGraph.from_coo(rows, cols, vals, n, n, device=False)
+        gd = jax.device_put(g)
+        fn = jax.jit(lambda gg, xx: spmm_segment(gg, xx))
+        sync(fn(gd, x))
+        times.append(_timed_best(fn, gd, x))
+        edges.append(g.nnz)
+    dt = times[1] - times[0]
+    if dt <= 0:
+        raise RuntimeError("probe sizes not separable (dispatch noise)")
+    return (edges[1] - edges[0]) / dt
 
 
 def measured_rates(force: bool = False) -> dict:

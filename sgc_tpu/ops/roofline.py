@@ -51,8 +51,11 @@ def dense_term_cost(split, n_features: int, feature_tile: int = 256,
     n_ft = f_pad // ft
     n_rb = split.n_row_blocks
 
+    # x stripes are stored bf16 on the pallas path (operands are rounded
+    # to bf16 by the MXU anyway); the scan form streams them f32
+    x_itemsize = 2 if form == "pallas" else 4
     cell_bytes = n_ft * n_cells * R * W * 2          # bf16 cells, per f-tile
-    stripe_bytes = n_ft * n_cells * W * ft * 4       # f32 x stripes
+    stripe_bytes = n_ft * n_cells * W * ft * x_itemsize
     out_bytes = n_rb * R * f_pad * 4                 # one write per f-tile
     total = cell_bytes + stripe_bytes + out_bytes
     if form == "scan":
@@ -96,19 +99,23 @@ def roofline_report(split, n_features: int, dense_s: float, rest_s: float,
     r = remainder_cost(nnz_rest, split.n_rows, n_features)
     dense_net = max(dense_s - dispatch_s, 1e-9)
     rest_net = max(rest_s - dispatch_s, 1e-9)
+    no_dense = split.n_cells == 0 or dense_s <= dispatch_s
     out = {
         "form": form,
         "dispatch_s": round(dispatch_s, 4),
         "dense": {
             "seconds": round(dense_s, 4),
-            "bytes": d["bytes"],
-            "achieved_gbps": round(d["bytes"] / dense_net / 1e9, 1),
-            "hbm_frac": round(d["bytes"] / dense_net / 1e9
-                              / peaks["hbm_gbps"], 3),
-            "mxu_frac_padded": round(d["flops_padded"] / dense_net / 1e12
-                                     / peaks["bf16_tflops"], 3),
-            "mxu_frac_useful": round(d["flops_useful"] / dense_net / 1e12
-                                     / peaks["bf16_tflops"], 4),
+            "bytes": d["bytes"] if split.n_cells else 0.0,
+            "achieved_gbps": 0.0 if no_dense else round(
+                d["bytes"] / dense_net / 1e9, 1),
+            "hbm_frac": 0.0 if no_dense else round(
+                d["bytes"] / dense_net / 1e9 / peaks["hbm_gbps"], 3),
+            "mxu_frac_padded": 0.0 if no_dense else round(
+                d["flops_padded"] / dense_net / 1e12
+                / peaks["bf16_tflops"], 3),
+            "mxu_frac_useful": 0.0 if no_dense else round(
+                d["flops_useful"] / dense_net / 1e12
+                / peaks["bf16_tflops"], 4),
         },
         "remainder": {
             "seconds": round(rest_s, 4),

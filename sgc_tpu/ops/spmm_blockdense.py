@@ -314,6 +314,13 @@ def spmm_blockdense_pallas(
         Ft = min(feature_tile, max(int(x.shape[1]), 128))
         f_pad = (-x.shape[1]) % Ft
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
+        if mm_dtype == jnp.bfloat16:
+            # store the streamed stripes in bf16: the kernel casts
+            # operands to bf16 before the dot anyway (and the MXU rounds
+            # f32 operands to bf16 regardless — DESIGN §2d, measured
+            # bitwise-identical), so this halves stripe HBM traffic with
+            # ZERO numeric change in both compiled and interpret modes
+            xp = xp.astype(jnp.bfloat16)
         n_ft = xp.shape[1] // Ft
         n_total = int(cells.shape[0])
 
@@ -337,8 +344,8 @@ def spmm_blockdense_pallas(
             cost_estimate=pl.CostEstimate(
                 flops=2 * R * W * Ft * n_total * n_ft,
                 bytes_accessed=(
-                    (n_total * (R * W * 2 + W * Ft * 4)) * n_ft
-                    + n_rb * R * xp.shape[1] * 4
+                    (n_total * (R * W * 2 + W * Ft * xp.dtype.itemsize))
+                    * n_ft + n_rb * R * xp.shape[1] * 4
                 ),
                 transcendentals=0,
             ),
