@@ -21,7 +21,6 @@ import argparse
 import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -88,31 +87,42 @@ def main():
     disp = timed(triv, jnp.ones((8, 128), jnp.float32))
     log(f"dispatch floor {disp*1e3:.1f} ms")
 
-    # 1+2: feature-tile sweep (bf16 stripes are the kernel default now)
-    ref = None
+    # 1+2: feature-tile sweep (bf16 stripes are the kernel default now).
+    # Cells/ids ride as JIT ARGUMENTS — closing over them bakes 2.8 GB
+    # of HLO constants into the lowering (~45 min of host CPU, measured
+    # the hard way; the same trap hybrid_device_args documents).
+    ref_row_sum = None
     for ft in (256, 512, 768):
-        fn = jax.jit(partial(
-            spmm_blockdense_pallas, dense_split,
-            args=(dense_args, None), feature_tile=ft, interpret=False))
+        fn = jax.jit(lambda xx, a, ft=ft: spmm_blockdense_pallas(
+            dense_split, xx, args=(a, None), feature_tile=ft,
+            interpret=False))
         try:
-            t = timed(fn, x)
+            t = timed(fn, x, dense_args)
         except Exception as exc:
             log(f"feature_tile {ft}: FAILED {type(exc).__name__}")
             continue
-        out = np.asarray(fn(x))
-        if ref is None:
-            ref = out
-        err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
+        # compare a cheap on-device checksum, not a 700 MB pull
+        row_sum = np.asarray(jnp.sum(fn(x, dense_args), axis=1))
+        if ref_row_sum is None:
+            ref_row_sum = row_sum
+        err = (np.abs(row_sum - ref_row_sum).max()
+               / max(np.abs(ref_row_sum).max(), 1e-9))
         log(f"feature_tile {ft}: {t*1e3:.1f} ms (net {1e3*(t-disp):.1f}) "
-            f"rel_err_vs_ft256 {err:.1e}")
+            f"rowsum_rel_err_vs_ft256 {err:.1e}")
 
-    # 3: int8 cells + per-cell scale
+    # 3: int8 cells + per-cell scale (chunked quantization: one 5.6 GB
+    # f32 temporary would pay the fault wall, DESIGN §2e)
     k = int(split.cells.shape[0])
-    cells_f32 = np.asarray(split.cells[:k]).astype(np.float32)
-    scales = np.maximum(np.abs(cells_f32).max(axis=(1, 2)), 1e-30) / 127.0
-    cells_i8 = np.clip(np.rint(cells_f32 / scales[:, None, None]),
-                       -127, 127).astype(np.int8)
     R, W = split.row_block, split.stripe
+    cells_i8 = np.empty((k, R, W), np.int8)
+    scales = np.empty(k, np.float32)
+    step = 256
+    for i in range(0, k, step):
+        cf = np.asarray(split.cells[i:i + step]).astype(np.float32)
+        sc = np.maximum(np.abs(cf).max(axis=(1, 2)), 1e-30) / 127.0
+        scales[i:i + step] = sc
+        cells_i8[i:i + step] = np.clip(
+            np.rint(cf / sc[:, None, None]), -127, 127).astype(np.int8)
     n_rb, n_st = split.n_row_blocks, split.n_stripes
     for ft in (256, 768):
         f_pad = (-x.shape[1]) % ft
@@ -152,17 +162,21 @@ def main():
         st = jnp.asarray(split.st_ids[:k])
         sc = jnp.asarray(scales.astype(np.float32))
         a8 = jnp.asarray(cells_i8)
-        fn8 = jax.jit(lambda xpp: call(rb, st, sc, a8, xpp))
+        # all operands as jit arguments (constants-capture trap above)
+        fn8 = jax.jit(lambda rb_, st_, sc_, a8_, xpp:
+                      call(rb_, st_, sc_, a8_, xpp))
         try:
-            t8 = timed(fn8, xp)
+            t8 = timed(fn8, rb, st, sc, a8, xp)
         except Exception as exc:
             log(f"int8 ft{ft}: FAILED {type(exc).__name__}: {exc}")
             continue
-        out8 = np.asarray(fn8(xp))[: split.n_rows, : x.shape[1]]
-        err8 = (np.abs(out8 - ref[: split.n_rows])
-                .max() / max(np.abs(ref).max(), 1e-9))
+        row8 = np.asarray(
+            jnp.sum(fn8(rb, st, sc, a8, xp)[: split.n_rows, : x.shape[1]],
+                    axis=1))
+        err8 = (np.abs(row8 - ref_row_sum[: split.n_rows]).max()
+                / max(np.abs(ref_row_sum).max(), 1e-9))
         log(f"int8 cells ft{ft}: {t8*1e3:.1f} ms (net {1e3*(t8-disp):.1f}) "
-            f"rel_err_vs_bf16 {err8:.1e}")
+            f"rowsum_rel_err_vs_bf16 {err8:.1e}")
 
 
 if __name__ == "__main__":
