@@ -32,7 +32,7 @@ def default_peaks() -> dict:
     }
 
 
-def dense_term_cost(split, n_features: int, feature_tile: int = 256,
+def dense_term_cost(split, n_features: int, feature_tile: int | None = None,
                     form: str = "pallas") -> dict:
     """Bytes moved and flops for the dense-cell term of one hop.
 
@@ -46,6 +46,9 @@ def dense_term_cost(split, n_features: int, feature_tile: int = 256,
     """
     R, W = split.row_block, split.stripe
     n_cells = int(split.cells.shape[0])       # padded count: what executes
+    if feature_tile is None:                  # kernel's single-tile default
+        feature_tile = (min(-(-max(n_features, 128) // 128) * 128, 1024)
+                        if form == "pallas" else 256)
     ft = min(feature_tile, max(int(n_features), 128))
     f_pad = n_features + ((-n_features) % ft)
     n_ft = f_pad // ft

@@ -279,7 +279,7 @@ def spmm_blockdense_pallas(
     split: BlockDenseSplit,
     x: jnp.ndarray,
     args: tuple | None = None,
-    feature_tile: int = 256,
+    feature_tile: int | None = None,
     interpret: bool | None = None,
     precision: str = "bf16",
 ) -> jnp.ndarray:
@@ -311,6 +311,16 @@ def spmm_blockdense_pallas(
         R, W = split.row_block, split.stripe
         n_rb, n_st = split.n_row_blocks, split.n_stripes
         mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        if feature_tile is None:
+            # ONE f-tile up to 1024 wide (rounded to the 128-lane
+            # granule): n_ft multiplies cell re-reads — every f-tile
+            # re-streams every cell — and the single-tile form measured
+            # 26.8 -> 19.3 ms net on the full-scale main split (round 3,
+            # scripts/exp_dense_term.py; ft 640 == 768 within noise).
+            # VMEM at (512, 1024): cell 0.5 MB + stripe 1 MB + out 2 MB
+            # per block — far under limits.
+            feature_tile = min(
+                -(-max(int(x.shape[1]), 128) // 128) * 128, 1024)
         Ft = min(feature_tile, max(int(x.shape[1]), 128))
         f_pad = (-x.shape[1]) % Ft
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
