@@ -45,6 +45,12 @@ def time_segment(graph, graph_final, x, sync):
 
     from sgc_tpu.ops.spmm import spmm
 
+    # place edge arrays ONCE: host-resident numpy jit args re-transfer
+    # on every call (measured: 0.94 s/rep at 0.25 scale vs 0.14 s of
+    # compute — would unfairly inflate the segment baseline)
+    graph = jax.device_put(graph)
+    graph_final = jax.device_put(graph_final)
+
     @jax.jit
     def hops(xx, g1, g2):
         return spmm(g2, spmm(g1, xx, impl="segment"), impl="segment")
