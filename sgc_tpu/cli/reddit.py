@@ -119,7 +119,7 @@ def _locality_propagate(data, degree: int, inductive: bool):
     t0 = perf_counter()
     plan_full = LocalityPlan.build(
         data.graph, np.asarray(data.features), np.asarray(data.labels),
-        idx_train,
+        idx_train, calibrate=True,
     )
     prep_s = perf_counter() - t0
 
@@ -135,7 +135,7 @@ def _locality_propagate(data, degree: int, inductive: bool):
         plan_train = LocalityPlan.build(
             data.train_graph, train_in,
             np.asarray(data.labels)[idx_train],
-            np.arange(len(idx_train)),
+            np.arange(len(idx_train)), calibrate=True,
         )
         prep_s += perf_counter() - t0
         sync(plan_train.propagate_all(degree))

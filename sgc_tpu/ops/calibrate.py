@@ -171,6 +171,15 @@ def measured_rates(force: bool = False) -> dict:
             return _RATES
         except Exception:
             pass
+    import jax
+
+    if jax.default_backend() == "cpu" and not force:
+        # CPU runs (tests, virtual meshes) never PROBE implicitly:
+        # probing there measures the wrong machine AND makes split
+        # geometry vary with host load (splits must be deterministic
+        # under test). An existing disk cache (from an explicit
+        # force-probe) is still honored above; force=True probes.
+        return fallback
     try:
         rates = {
             "blockdense_eff_flops": _probe_blockdense_eff_flops(),
