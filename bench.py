@@ -419,6 +419,30 @@ def main() -> None:
         # actually runs (parallel/blockdense.py since round 3 — the
         # round-2 projection used a rate the sharded path couldn't hit)
         model["rate_formulation"] = head.get("formulation", "segment")
+        # the 8-part sharded block-dense plan itself, built host-side
+        # (device=False: no cell shipping) so the multi-chip claim is
+        # auditable from the artifact: how much of the graph the sharded
+        # fast path would run as cells, and how much of that is interior
+        # (overlappable with the exchange)
+        try:
+            t0 = time.perf_counter()
+            from sgc_tpu.parallel.blockdense import build_sharded_blockdense
+            from sgc_tpu.parallel.halo import build_halo
+            from sgc_tpu.parallel.partition import partition_graph
+
+            pg = partition_graph(head["graph"], 8)
+            bd = build_sharded_blockdense(
+                pg, build_halo(pg), head["n_features"], device=False)
+            model["sharded_blockdense_plan"] = {
+                "n_parts": 8,
+                "dense_fraction": round(bd.dense_fraction, 3),
+                "n_cells": bd.n_cells,
+                "cells_interior_width": int(bd.cells_int.shape[1]),
+                "cells_boundary_width": int(bd.cells_bnd.shape[1]),
+                "build_s": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as exc:
+            log(f"sharded plan stats failed: {exc}")
     except Exception as exc:  # model failure must not kill the bench
         log(f"comm model failed: {exc}")
         model = {}

@@ -180,6 +180,7 @@ def build_sharded_blockdense(
     stripe: int = DEFAULT_STRIPE,
     min_edges: float | None = None,
     byte_budget: int = DEFAULT_BYTE_BUDGET,
+    device: bool = True,
 ) -> ShardedBlockDense:
     """Host-side plan: per-part block-dense split of the halo-remapped
     edge lists, interior/boundary separated (see module docstring).
@@ -187,7 +188,9 @@ def build_sharded_blockdense(
     ``n_features`` should be the PER-CHIP feature width (F / feat-axis
     size) — the admission crossover compares per-chip matmul time against
     per-chip gather time, both of which scale with the local width.
-    ``byte_budget`` caps each chip's bf16 cell bytes.
+    ``byte_budget`` caps each chip's bf16 cell bytes. ``device=False``
+    keeps every array host-resident (plan inspection / comm modelling
+    without shipping GBs of cells to the chip).
     """
     P = pgraph.n_parts
     R = pgraph.rows_per_part
@@ -245,7 +248,7 @@ def build_sharded_blockdense(
     ri = _pad_rest(rest_int, R)
     rb_ = _pad_rest(rest_bnd, R)
 
-    as_j = jnp.asarray
+    as_j = jnp.asarray if device else (lambda a: a)
     return ShardedBlockDense(
         cells_int=as_j(ci), rb_int=as_j(rbi), st_int=as_j(sti),
         cells_bnd=as_j(cb), rb_bnd=as_j(rbb), st_bnd=as_j(stb),
