@@ -275,6 +275,69 @@ def _blockdense_kernel(
     )
 
 
+def default_feature_tile(n_features: int) -> int:
+    """ONE f-tile up to 1024 lanes (128-rounded): n_ft multiplies cell
+    re-reads — every f-tile re-streams every cell — and the single-tile
+    form measured 26.8 -> 19.3 ms net on the full-scale main split
+    (round 3, scripts/exp_dense_term.py)."""
+    return min(-(-max(int(n_features), 128) // 128) * 128, 1024)
+
+
+def apply_cells_pallas(
+    cells: jnp.ndarray,      # bf16[C, R, W]
+    rb: jnp.ndarray,         # int32[C], non-decreasing
+    st: jnp.ndarray,         # int32[C]
+    xp: jnp.ndarray,         # [n_st * W, F_pad], F_pad % Ft == 0
+    n_rb: int,
+    feature_tile: int,
+    interpret: bool,
+    mm_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """The streamed dense-cell term as one pallas_call: cells and
+    x-stripes arrive as scalar-prefetch-indexed VMEM blocks, the output
+    block revisits/accumulates per row block. Returns f32[n_rb*R, F_pad].
+
+    Shared by the single-chip op (:func:`spmm_blockdense_pallas`) and
+    the per-chip sharded hop (parallel/blockdense.py form="pallas").
+    """
+    C, R, W = cells.shape
+    Ft = feature_tile
+    if xp.shape[1] % Ft:
+        raise ValueError(f"F_pad {xp.shape[1]} not divisible by Ft {Ft}")
+    n_ft = xp.shape[1] // Ft
+    if mm_dtype == jnp.bfloat16:
+        xp = xp.astype(jnp.bfloat16)   # halves stripe traffic; MXU
+        # rounds operands to bf16 regardless (DESIGN §2d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ft, C),
+        in_specs=[
+            pl.BlockSpec((1, R, W), lambda f, k, rb, st: (k, 0, 0)),
+            pl.BlockSpec((W, Ft), lambda f, k, rb, st: (st[k], f)),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, Ft), lambda f, k, rb, st: (rb[k], f),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        partial(_blockdense_kernel, mm_dtype=mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_rb * R, xp.shape[1]),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * W * Ft * C * n_ft,
+            bytes_accessed=(
+                (C * (R * W * 2 + W * Ft * xp.dtype.itemsize)) * n_ft
+                + n_rb * R * xp.shape[1] * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rb, st, cells, xp)
+
+
 def spmm_blockdense_pallas(
     split: BlockDenseSplit,
     x: jnp.ndarray,
@@ -312,55 +375,12 @@ def spmm_blockdense_pallas(
         n_rb, n_st = split.n_row_blocks, split.n_stripes
         mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         if feature_tile is None:
-            # ONE f-tile up to 1024 wide (rounded to the 128-lane
-            # granule): n_ft multiplies cell re-reads — every f-tile
-            # re-streams every cell — and the single-tile form measured
-            # 26.8 -> 19.3 ms net on the full-scale main split (round 3,
-            # scripts/exp_dense_term.py; ft 640 == 768 within noise).
-            # VMEM at (512, 1024): cell 0.5 MB + stripe 1 MB + out 2 MB
-            # per block — far under limits.
-            feature_tile = min(
-                -(-max(int(x.shape[1]), 128) // 128) * 128, 1024)
+            feature_tile = default_feature_tile(x.shape[1])
         Ft = min(feature_tile, max(int(x.shape[1]), 128))
         f_pad = (-x.shape[1]) % Ft
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
-        if mm_dtype == jnp.bfloat16:
-            # store the streamed stripes in bf16: the kernel casts
-            # operands to bf16 before the dot anyway (and the MXU rounds
-            # f32 operands to bf16 regardless — DESIGN §2d, measured
-            # bitwise-identical), so this halves stripe HBM traffic with
-            # ZERO numeric change in both compiled and interpret modes
-            xp = xp.astype(jnp.bfloat16)
-        n_ft = xp.shape[1] // Ft
-        n_total = int(cells.shape[0])
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_ft, n_total),
-            in_specs=[
-                pl.BlockSpec((1, R, W), lambda f, k, rb, st: (k, 0, 0)),
-                pl.BlockSpec((W, Ft), lambda f, k, rb, st: (st[k], f)),
-            ],
-            out_specs=pl.BlockSpec(
-                (R, Ft), lambda f, k, rb, st: (rb[k], f),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        out = pl.pallas_call(
-            partial(_blockdense_kernel, mm_dtype=mm_dtype),
-            out_shape=jax.ShapeDtypeStruct((n_rb * R, xp.shape[1]),
-                                           jnp.float32),
-            grid_spec=grid_spec,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * R * W * Ft * n_total * n_ft,
-                bytes_accessed=(
-                    (n_total * (R * W * 2 + W * Ft * xp.dtype.itemsize))
-                    * n_ft + n_rb * R * xp.shape[1] * 4
-                ),
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(rb, st, cells, xp)
+        out = apply_cells_pallas(cells, rb, st, xp, n_rb, Ft,
+                                 interpret, mm_dtype=mm_dtype)
         # row blocks no cell visits leave their slots undefined
         visited = np.zeros(n_rb, bool)
         visited[np.unique(np.asarray(split.rb_ids))] = True

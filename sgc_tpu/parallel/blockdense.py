@@ -285,11 +285,22 @@ def blockdense_exchange_and_spmm(
     local_args: tuple,            # blockdense_flat_args leaves, [0]-indexed
     x_local: jnp.ndarray,         # [R, F_loc]
     precision: str = "bf16",
+    form: str = "scan",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """One halo-exchanged block-dense SpMM hop; call inside shard_map
     over "nodes". Interior terms read only ``x_local`` (no dependence on
     the all_to_all), so the exchange overlaps the interior matmuls.
+
+    ``form="pallas"`` computes the cell terms with the streamed Pallas
+    kernel (ops/spmm_blockdense.apply_cells_pallas — the single-chip
+    headline kernel, per chip); ``"scan"`` is the portable einsum form.
     """
+    from sgc_tpu.ops.spmm_blockdense import (
+        apply_cells_pallas,
+        default_feature_tile,
+    )
+
     (ci, rbi, sti, cb, rbb, stb,
      ri_r, ri_c, ri_v, rb_r, rb_c, rb_v, send_idx) = local_args
     R = bd.rows_per_part
@@ -298,6 +309,19 @@ def blockdense_exchange_and_spmm(
     n_rb = bd.n_rb
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     F = x_local.shape[1]
+
+    def cells_term(cells, rb_ids, st_ids, x2d, chunk):
+        # x2d: [n_st_local_or_halo * W, F] stripe-space operand
+        if form == "pallas":
+            ftile = default_feature_tile(F)
+            f_extra = (-F) % ftile
+            xpp = jnp.pad(x2d, ((0, 0), (0, f_extra)))
+            out = apply_cells_pallas(cells, rb_ids, st_ids, xpp, n_rb,
+                                     ftile, interpret, mm_dtype=mm_dtype)
+            return out[:, :F].reshape(n_rb, RB, F)
+        xb = x2d.astype(mm_dtype).reshape(-1, W, F)
+        return apply_cells_scan(cells, rb_ids, st_ids, xb, n_rb, chunk,
+                                mm_dtype=mm_dtype)
 
     # 1. pack + exchange (async-schedulable: nothing below depends on it
     #    until the boundary terms)
@@ -308,9 +332,7 @@ def blockdense_exchange_and_spmm(
 
     # 2. interior: local stripes + local segment remainder
     xi = jnp.pad(x_local, ((0, bd.r_up - R), (0, 0)))
-    xi = xi.reshape(bd.r_up // W, W, F)
-    acc = apply_cells_scan(ci, rbi, sti, xi, n_rb, bd.chunk_int,
-                           mm_dtype=mm_dtype)
+    acc = cells_term(ci, rbi, sti, xi, bd.chunk_int)
     acc = acc.reshape(n_rb * RB, F)[:R]
     acc = acc + jax.ops.segment_sum(
         jnp.take(x_local, ri_c, axis=0) * ri_v[:, None],
@@ -318,9 +340,7 @@ def blockdense_exchange_and_spmm(
 
     # 3. boundary: halo stripes + halo segment remainder
     hb = jnp.pad(halo, ((0, bd.t_pad - bd.r_up - halo.shape[0]), (0, 0)))
-    hb = hb.reshape((bd.t_pad - bd.r_up) // W, W, F)
-    accb = apply_cells_scan(cb, rbb, stb, hb, n_rb, bd.chunk_bnd,
-                            mm_dtype=mm_dtype)
+    accb = cells_term(cb, rbb, stb, hb, bd.chunk_bnd)
     acc = acc + accb.reshape(n_rb * RB, F)[:R]
     acc = acc + jax.ops.segment_sum(
         jnp.take(halo, rb_c, axis=0) * rb_v[:, None],

@@ -40,7 +40,8 @@ def _local_spmm(rows_local, cols, vals, x_full, rows_per_part):
 
 def spmm_sharded(
     mesh, pgraph: PartitionedGraph, x: jnp.ndarray, halo=None,
-    blockdense=None, precision: str = "bf16",
+    blockdense=None, precision: str = "bf16", form: str = "scan",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """One sharded SpMM hop: returns S @ x with the same sharding as x.
 
@@ -78,7 +79,7 @@ def spmm_sharded(
         def body_bd(args, x_local):
             return blockdense_exchange_and_spmm(
                 blockdense, tuple(a[0] for a in args), x_local,
-                precision=precision,
+                precision=precision, form=form, interpret=interpret,
             )
 
         fn = shard_map(
@@ -154,12 +155,18 @@ def spmm_sharded(
 
 def propagate_sharded(
     mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None,
-    blockdense=None, precision: str = "bf16",
+    blockdense=None, precision: str = "bf16", form: str = "scan",
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static."""
+    """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static.
+
+    ``form="pallas"`` runs the per-chip dense-cell term through the
+    streamed Pallas kernel (the single-chip headline kernel); ``"scan"``
+    (default) is the portable einsum form — identical math."""
     for _ in range(degree):
         x = spmm_sharded(mesh, pgraph, x, halo=halo,
-                         blockdense=blockdense, precision=precision)
+                         blockdense=blockdense, precision=precision,
+                         form=form, interpret=interpret)
     return x
 
 

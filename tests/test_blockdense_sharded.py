@@ -218,3 +218,30 @@ def test_sharded_train_step_blockdense_matches_segment():
     scale = max(np.abs(ws).max(), np.abs(bs).max())
     assert np.abs(wb - ws).max() / scale < 2e-3
     assert np.abs(bb - bs).max() / scale < 2e-3
+
+
+def test_sharded_blockdense_pallas_form_matches_scan():
+    """form="pallas" (the single-chip headline kernel, per chip, in
+    interpret mode on the CPU mesh) must equal the scan form exactly —
+    same bf16 cell storage, same bf16 operand rounding, f32 accumulation
+    differences only."""
+    rng = np.random.default_rng(14)
+    n = 128
+    a, g = _clustered_graph(n, seed=31)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    mesh = make_mesh(4, 1)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg)
+    bd = build_sharded_blockdense(pg, halo, 16, row_block=32, stripe=32,
+                                  min_edges=50)
+    assert bd.n_cells > 0 and bd.sparse_edges > 0
+    xp = pad_node_rows(pad_feature_dim(jnp.asarray(x), 8),
+                       pg.n_rows_padded)
+    xs = shard_features(mesh, xp)
+    out_scan = np.asarray(propagate_sharded(
+        mesh, pg, xs, 1, blockdense=bd, precision="bf16", form="scan"))
+    out_pl = np.asarray(propagate_sharded(
+        mesh, pg, xs, 1, blockdense=bd, precision="bf16", form="pallas",
+        interpret=True))
+    np.testing.assert_allclose(out_pl, out_scan, rtol=1e-5, atol=1e-5)
