@@ -1,13 +1,15 @@
-"""LBFGS fit cost vs feature-storage dtype, Reddit train-row shape.
+"""LBFGS term: bf16 train-feature storage experiment (round 3).
 
-The fit reads the feature matrix twice per iteration (forward logits +
-backward X^T r); at 152410x602 f32 that is ~29 GB over the 40 iterations
-of the 2-epoch reference protocol — HBM-bandwidth-bound. The TPU MXU
-rounds f32 matmul operands to bf16 regardless (jax default precision),
-so storing the PROPAGATED features in bf16 halves the bytes without
-changing the MXU arithmetic. VERDICT round-1 item 1(c) asked for exactly
-this evaluation.
+The fused headline's train part (~105-128 ms of ~276 ms) is floor-bound
+by streaming the 367 MB f32 train-feature matrix from HBM twice per
+sequential iteration (DESIGN §2b audit). The MXU rounds matmul operands
+to bf16 regardless, so storing the PROPAGATED train features in bf16
+halves that stream with minimal numeric change — this measures the
+speed and the loss/param drift at the Reddit train shape.
+
+Usage: python scripts/exp_lbfgs_bf16.py
 """
+
 import os
 import sys
 import time
@@ -17,6 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SGC_TPU_COMPILE_CACHE", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -29,31 +35,42 @@ def main():
 
     from sgc_tpu.models.sgc import init_sgc
     from sgc_tpu.train.loops import _lbfgs_linear_fit
-    from sgc_tpu.utils.profiling import bench_timeit
+    from sgc_tpu.utils.profiling import sync
 
-    print("backend:", jax.default_backend(), flush=True)
+    log(f"backend: {jax.default_backend()}")
+    n_train, F, C = 152_410, 602, 41
     rng = np.random.default_rng(0)
-    n, f, c = 152410, 602, 41
-    tr = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    y = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
-    p0 = init_sgc(jax.random.PRNGKey(42), f, c, bias=True)
+    tr = rng.normal(size=(n_train, F)).astype(np.float32)
+    y = jnp.asarray(rng.integers(0, C, n_train).astype(np.int32))
+    params0 = init_sgc(jax.random.PRNGKey(42), F, C, bias=True)
     wd = jnp.asarray(0.0, jnp.float32)
-    cw = jnp.ones((c,), jnp.float32)
+    cw = jnp.ones((C,), jnp.float32)
 
-    def timeit(name, fn, reps=5):
-        return bench_timeit(name, fn, reps,
-                            emit=lambda s: print(s, flush=True))
+    fit = jax.jit(lambda x, p0: _lbfgs_linear_fit(
+        p0, x, y, wd, cw, 2, False, False, 1.0))
 
-    pf = timeit("lbfgs f32 features", lambda: _lbfgs_linear_fit(
-        p0, tr, y, wd, cw, 2, False, False, 1.0)[0])
+    results = {}
+    for dtype in ("f32", "bf16"):
+        x = jnp.asarray(tr, jnp.bfloat16 if dtype == "bf16" else
+                        jnp.float32)
+        p, loss = fit(x, params0)
+        sync(p)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p, loss = fit(x, params0)
+            sync(p)
+            best = min(best, time.perf_counter() - t0)
+        results[dtype] = (best, np.asarray(p.w), float(np.asarray(loss)[-1])
+                          if np.ndim(loss) else float(loss))
+        log(f"{dtype}: 2 LBFGS epochs {best*1e3:.1f} ms "
+            f"final-loss {results[dtype][2]:.6f}")
 
-    tr16 = tr.astype(jnp.bfloat16)
-    pb = timeit("lbfgs bf16 features", lambda: _lbfgs_linear_fit(
-        p0, tr16, y, wd, cw, 2, False, False, 1.0)[0])
-
-    dw = float(jnp.max(jnp.abs(pf.w - pb.w)))
-    sw = float(jnp.max(jnp.abs(pf.w)))
-    print(f"final-W divergence: {dw:.3e} (scale {sw:.3e})", flush=True)
+    werr = np.abs(results["bf16"][1] - results["f32"][1]).max()
+    scale = np.abs(results["f32"][1]).max()
+    log(f"bf16 vs f32: {results['f32'][0]/results['bf16'][0]:.2f}x, "
+        f"w rel-err {werr/scale:.2e}, "
+        f"loss delta {abs(results['bf16'][2]-results['f32'][2]):.2e}")
 
 
 if __name__ == "__main__":
