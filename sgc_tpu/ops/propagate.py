@@ -293,6 +293,11 @@ def text_structural_features(
         # round-2 #6; cli/textsgc --impl blockdense). The bipartite B/C
         # blocks spread mass broadly, so admission decides per cell;
         # a mostly-sparse split degrades to the segment path.
+        #
+        # Phase widths are DOC counts (COVID train: 6,626 columns) —
+        # one program at that width OOMs the compile at Reddit-class
+        # intermediates, so the hops run in column chunks of <= 2048
+        # (independent columns; concatenation is exact).
         from sgc_tpu.ops.spmm_blockdense import (
             blockdense_device_args,
             spmm_block_dense,
@@ -301,17 +306,26 @@ def text_structural_features(
 
         slices = {p: _sliced_columns(graph, i) for p, i in index_dict.items()}
         width = max(int(d.shape[1]) for d in slices.values())
-        split = split_block_dense(graph, width)
+        split = split_block_dense(graph, min(width, 2048))
         args = blockdense_device_args(split)
 
         @jax.jit
-        def _bd_hops_then_transpose(d, a):
+        def _bd_hops_chunk(d, a):
             for _ in range(degree - 1):
                 d = spmm_block_dense(split, d, args=a)
-            return d.T
+            return d
+
+        def _bd_hops_then_transpose(d, a):
+            cols = [
+                _bd_hops_chunk(d[:, i: i + 2048], a)
+                for i in range(0, d.shape[1], 2048)
+            ]
+            out = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+            return out.T
 
         for d in slices.values():
-            _bd_hops_then_transpose.lower(d, args).compile()
+            for i in range(0, d.shape[1], 2048):
+                _bd_hops_chunk.lower(d[:, i: i + 2048], args).compile()
         t = perf_counter()
         per_phase = {
             phase: _bd_hops_then_transpose(d, args)
@@ -320,14 +334,30 @@ def text_structural_features(
     else:
         sp_impl = "auto" if impl in ("auto", "dense", "sparse") else impl
         slices = {p: _sliced_columns(graph, i) for p, i in index_dict.items()}
+        # wide phases (doc counts: COVID train = 6,626 columns) run in
+        # <=2048-column chunks — one program at full width exceeds the
+        # compile memory on accelerator backends; columns are
+        # independent so concatenation is exact
+        chunk_w = 2048
+
+        def _hops_chunked(d):
+            if d.shape[1] <= chunk_w:
+                return _hops_then_transpose(graph, d, degree - 1, sp_impl)
+            outs = [
+                _hops_then_transpose(
+                    graph, d[:, i: i + chunk_w], degree - 1, sp_impl)
+                for i in range(0, d.shape[1], chunk_w)
+            ]
+            return jnp.concatenate(outs, axis=0)
+
         for d in slices.values():
-            _hops_then_transpose.lower(
-                graph, d, degree - 1, sp_impl
-            ).compile()
+            for i in range(0, d.shape[1], chunk_w):
+                _hops_then_transpose.lower(
+                    graph, d[:, i: i + chunk_w], degree - 1, sp_impl
+                ).compile()
         t = perf_counter()
         per_phase = {
-            phase: _hops_then_transpose(graph, d, degree - 1, sp_impl)
-            for phase, d in slices.items()
+            phase: _hops_chunked(d) for phase, d in slices.items()
         }
     from sgc_tpu.utils.profiling import sync
 
