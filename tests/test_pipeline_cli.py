@@ -343,3 +343,37 @@ def test_textsgc_blockdense_impl_matches_sparse(tiny_corpus):
         subset="BCD", data_path=str(out), impl="blockdense",
     )
     assert res["test_accuracy"] > 0.9
+
+
+def test_text_structural_features_chunked_wide_phase():
+    """Phases wider than the 2048-column chunk run in exact column
+    chunks (both sparse and blockdense) — COVID's 6,626-doc train phase
+    crashes accelerator compiles as one program."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.propagate import text_structural_features
+
+    rng = np.random.default_rng(0)
+    n = 2600
+    a = sp.random(n, n, density=0.01, random_state=1, format="coo")
+    a = (a + a.T).tocoo()
+    g = SparseGraph.from_scipy(a)
+    # train phase wider than one chunk
+    idx = {"train": np.arange(2200), "val": np.arange(2200, 2400),
+           "test": np.arange(2400, 2600)}
+    f_sparse, _ = text_structural_features(g, idx, degree=2, impl="sparse")
+    assert f_sparse["train"].shape[0] == 2200
+    f_bd, _ = text_structural_features(g, idx, degree=2, impl="blockdense")
+    for p in idx:
+        a_, b_ = np.asarray(f_sparse[p]), np.asarray(f_bd[p])
+        scale = max(np.abs(a_).max(), 1e-9)
+        assert np.abs(a_ - b_).max() / scale < 2e-2, p
+
+    # oracle: the unchunked dense-S path on the same graph
+    f_dense, _ = text_structural_features(g, idx, degree=2, impl="dense")
+    for p in idx:
+        np.testing.assert_allclose(
+            np.asarray(f_sparse[p]), np.asarray(f_dense[p]),
+            rtol=2e-4, atol=2e-5)
