@@ -49,10 +49,7 @@ def main():
 
     from sgc_tpu.data.synthetic import synthetic_reddit_clustered
     from sgc_tpu.graph.locality import LocalityPlan
-    from sgc_tpu.ops.spmm_blockdense import (
-        blockdense_device_args,
-        spmm_blockdense_pallas,
-    )
+    from sgc_tpu.ops.spmm_blockdense import spmm_blockdense_pallas
     from sgc_tpu.utils.profiling import sync
 
     log(f"backend: {jax.default_backend()}")
@@ -69,7 +66,6 @@ def main():
         f"dense_frac {plan.dense_fraction:.3f}")
 
     x = jnp.asarray(plan.features)
-    dense_args, _ = blockdense_device_args(split), None
     dense_args = (jnp.asarray(split.cells), jnp.asarray(split.rb_ids),
                   jnp.asarray(split.st_ids))
 

@@ -116,6 +116,13 @@ def _locality_propagate(data, degree: int, inductive: bool):
 
     idx_train = np.asarray(data.idx_train)
 
+    # hoist the one-time calibration probe OUT of the timed prep (its
+    # first-run compiles cost ~45 s each over a tunneled backend; cached
+    # afterwards — same discipline as bench.py)
+    from sgc_tpu.ops.calibrate import measured_rates
+
+    measured_rates()
+
     t0 = perf_counter()
     plan_full = LocalityPlan.build(
         data.graph, np.asarray(data.features), np.asarray(data.labels),

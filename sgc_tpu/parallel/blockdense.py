@@ -67,8 +67,8 @@ REST_PAD = 8
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=(
-        "cells_int", "rb_int", "st_int",
-        "cells_bnd", "rb_bnd", "st_bnd",
+        "cells_int", "rb_int", "st_int", "vis_int",
+        "cells_bnd", "rb_bnd", "st_bnd", "vis_bnd",
         "rest_int", "rest_bnd", "send_idx",
     ),
     meta_fields=(
@@ -95,9 +95,11 @@ class ShardedBlockDense:
     cells_int: jnp.ndarray
     rb_int: jnp.ndarray
     st_int: jnp.ndarray
+    vis_int: jnp.ndarray          # bool[P, n_rb]: row blocks with cells
     cells_bnd: jnp.ndarray
     rb_bnd: jnp.ndarray
     st_bnd: jnp.ndarray
+    vis_bnd: jnp.ndarray
     rest_int: tuple
     rest_bnd: tuple
     send_idx: jnp.ndarray
@@ -124,12 +126,15 @@ class ShardedBlockDense:
         return self.dense_edges / max(1, total)
 
 
-def _pad_cells(per_part: list, n_rb_hint: int):
+def _pad_cells(per_part: list, n_rb: int):
     """Stack per-part (cells, rb, st) lists to a common scan-ready width.
 
     Pads each part with zero cells; pad slots repeat the part's last
     (rb, st) so rb stays non-decreasing (empty parts use (0, 0) — a zero
-    matmul into block 0, exact on every path).
+    matmul into block 0). Also returns the per-part row-block VISITED
+    mask: the Pallas kernel form leaves unvisited out-blocks
+    uninitialized (same contract as spmm_blockdense_pallas's `visited`
+    mask), so the device path must zero them explicitly.
     """
     c_max = max((c.shape[0] for c, _, _ in per_part), default=0)
     c_max = max(c_max, 1)
@@ -144,6 +149,7 @@ def _pad_cells(per_part: list, n_rb_hint: int):
     ).reshape(P, width, rb0, w0)
     rb = np.zeros((P, width), np.int32)
     st = np.zeros((P, width), np.int32)
+    vis = np.zeros((P, n_rb), np.bool_)
     for p, (c, r, s) in enumerate(per_part):
         k = c.shape[0]
         if k:
@@ -152,7 +158,10 @@ def _pad_cells(per_part: list, n_rb_hint: int):
             st[p, :k] = s
             rb[p, k:] = r[-1]
             st[p, k:] = s[-1]
-    return cells, rb, st, chunk
+            vis[p, np.unique(r)] = True
+        else:
+            vis[p, 0] = True   # the (0,0) zero pad cell writes block 0
+    return cells, rb, st, vis, chunk
 
 
 def _pad_rest(per_part: list, rows_per_part: int):
@@ -243,15 +252,18 @@ def build_sharded_blockdense(
             rest_int.append(empty)
             rest_bnd.append(empty)
 
-    ci, rbi, sti, chunk_i = _pad_cells(per_int, row_block)
-    cb, rbb, stb, chunk_b = _pad_cells(per_bnd, row_block)
+    n_rb = -(-R // row_block)
+    ci, rbi, sti, vis_i, chunk_i = _pad_cells(per_int, n_rb)
+    cb, rbb, stb, vis_b, chunk_b = _pad_cells(per_bnd, n_rb)
     ri = _pad_rest(rest_int, R)
     rb_ = _pad_rest(rest_bnd, R)
 
     as_j = jnp.asarray if device else (lambda a: a)
     return ShardedBlockDense(
         cells_int=as_j(ci), rb_int=as_j(rbi), st_int=as_j(sti),
+        vis_int=as_j(vis_i),
         cells_bnd=as_j(cb), rb_bnd=as_j(rbb), st_bnd=as_j(stb),
+        vis_bnd=as_j(vis_b),
         rest_int=tuple(as_j(a) for a in ri),
         rest_bnd=tuple(as_j(a) for a in rb_),
         send_idx=halo.send_idx,
@@ -264,8 +276,8 @@ def build_sharded_blockdense(
 
 def blockdense_flat_args(bd: ShardedBlockDense) -> tuple:
     """The plan's device arrays as a flat tuple (shard_map arguments)."""
-    return (bd.cells_int, bd.rb_int, bd.st_int,
-            bd.cells_bnd, bd.rb_bnd, bd.st_bnd,
+    return (bd.cells_int, bd.rb_int, bd.st_int, bd.vis_int,
+            bd.cells_bnd, bd.rb_bnd, bd.st_bnd, bd.vis_bnd,
             *bd.rest_int, *bd.rest_bnd, bd.send_idx)
 
 
@@ -301,7 +313,7 @@ def blockdense_exchange_and_spmm(
         default_feature_tile,
     )
 
-    (ci, rbi, sti, cb, rbb, stb,
+    (ci, rbi, sti, vis_i, cb, rbb, stb, vis_b,
      ri_r, ri_c, ri_v, rb_r, rb_c, rb_v, send_idx) = local_args
     R = bd.rows_per_part
     W = bd.stripe
@@ -310,7 +322,7 @@ def blockdense_exchange_and_spmm(
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     F = x_local.shape[1]
 
-    def cells_term(cells, rb_ids, st_ids, x2d, chunk):
+    def cells_term(cells, rb_ids, st_ids, vis, x2d, chunk):
         # x2d: [n_st_local_or_halo * W, F] stripe-space operand
         if form == "pallas":
             ftile = default_feature_tile(F)
@@ -318,7 +330,11 @@ def blockdense_exchange_and_spmm(
             xpp = jnp.pad(x2d, ((0, 0), (0, f_extra)))
             out = apply_cells_pallas(cells, rb_ids, st_ids, xpp, n_rb,
                                      ftile, interpret, mm_dtype=mm_dtype)
-            return out[:, :F].reshape(n_rb, RB, F)
+            # unvisited out-blocks are UNINITIALIZED kernel memory (the
+            # single-chip op masks them the same way; where() also
+            # neutralizes NaN garbage, unlike multiply-by-zero)
+            out = jnp.where(jnp.repeat(vis, RB)[:, None], out[:, :F], 0.0)
+            return out.reshape(n_rb, RB, F)
         xb = x2d.astype(mm_dtype).reshape(-1, W, F)
         return apply_cells_scan(cells, rb_ids, st_ids, xb, n_rb, chunk,
                                 mm_dtype=mm_dtype)
@@ -332,7 +348,7 @@ def blockdense_exchange_and_spmm(
 
     # 2. interior: local stripes + local segment remainder
     xi = jnp.pad(x_local, ((0, bd.r_up - R), (0, 0)))
-    acc = cells_term(ci, rbi, sti, xi, bd.chunk_int)
+    acc = cells_term(ci, rbi, sti, vis_i, xi, bd.chunk_int)
     acc = acc.reshape(n_rb * RB, F)[:R]
     acc = acc + jax.ops.segment_sum(
         jnp.take(x_local, ri_c, axis=0) * ri_v[:, None],
@@ -340,7 +356,7 @@ def blockdense_exchange_and_spmm(
 
     # 3. boundary: halo stripes + halo segment remainder
     hb = jnp.pad(halo, ((0, bd.t_pad - bd.r_up - halo.shape[0]), (0, 0)))
-    accb = cells_term(cb, rbb, stb, hb, bd.chunk_bnd)
+    accb = cells_term(cb, rbb, stb, vis_b, hb, bd.chunk_bnd)
     acc = acc + accb.reshape(n_rb * RB, F)[:R]
     acc = acc + jax.ops.segment_sum(
         jnp.take(halo, rb_c, axis=0) * rb_v[:, None],

@@ -142,7 +142,10 @@ def fit_sharded(
             formulation = "blockdense" if want_halo else "segment"
         if not want_halo:
             halo = None
-            frac = 1.0
+            if frac is None:   # use_halo=False: nothing was measured
+                frac = 1.0
+            # else: keep the MEASURED fraction so FitReport records why
+            # the halo was rejected (auto mode)
         elif formulation == "blockdense":
             halo = sizing if sizing is not None else build_halo(pgraph)
         else:

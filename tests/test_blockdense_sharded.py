@@ -245,3 +245,50 @@ def test_sharded_blockdense_pallas_form_matches_scan():
         mesh, pg, xs, 1, blockdense=bd, precision="bf16", form="pallas",
         interpret=True))
     np.testing.assert_allclose(out_pl, out_scan, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_blockdense_pallas_visited_mask():
+    """Row blocks with NO admitted cells must come out exactly zero from
+    the pallas cells term (on hardware those out-blocks are
+    uninitialized memory — the visited mask zeroes them), while visited
+    blocks keep their full contribution: row_block smaller than
+    rows_per_part forces a mix of visited and unvisited blocks."""
+    rng = np.random.default_rng(15)
+    n = 128
+    # lopsided: one dense corner (rows/cols < 32) + a sparse scatter —
+    # parts 1-3 get few-to-no cells, so their row blocks go unvisited
+    rd = rng.integers(0, 32, 3000)
+    cd = rng.integers(0, 32, 3000)
+    rs = rng.integers(0, n, 200)
+    cs = rng.integers(0, n, 200)
+    r = np.concatenate([rd, rs])
+    c = np.concatenate([cd, cs])
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    a = sp.coo_matrix((v, (r, c)), shape=(n, n))
+    a.sum_duplicates()
+    g = SparseGraph.from_scipy(a)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    mesh = make_mesh(4, 1)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg)
+    # row_block 16 -> 2 blocks per 32-row part; min_edges high enough
+    # that only the dense corner's cells qualify
+    bd = build_sharded_blockdense(pg, halo, 16, row_block=16, stripe=16,
+                                  min_edges=30)
+    assert bd.n_cells > 0 and bd.sparse_edges > 0
+    vis = np.asarray(bd.vis_int)
+    assert not vis.all(), "need at least one unvisited row block"
+    assert vis.any()
+    xp = pad_node_rows(pad_feature_dim(jnp.asarray(x), 8),
+                       pg.n_rows_padded)
+    xs = shard_features(mesh, xp)
+    out_scan = np.asarray(propagate_sharded(
+        mesh, pg, xs, 1, blockdense=bd, precision="f32", form="scan"))
+    out_pl = np.asarray(propagate_sharded(
+        mesh, pg, xs, 1, blockdense=bd, precision="f32", form="pallas",
+        interpret=True))
+    # scan form is independently scipy-validated above; parity here
+    # proves the mask zeroes exactly the unvisited blocks and nothing
+    # else (a mask bug would zero real contributions => O(1) mismatch)
+    np.testing.assert_allclose(out_pl, out_scan, rtol=1e-5, atol=1e-5)
+    assert np.abs(out_pl[:32, :16]).max() > 0.1  # dense corner is live
