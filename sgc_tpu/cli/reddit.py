@@ -37,6 +37,7 @@ def run(
     data_path: str | None = None,
     sharded: bool = False,
     locality: bool = False,
+    formulation: str = "auto",
 ) -> dict:
     key = set_seed(seed)
     data = load_reddit(normalization, data_path)
@@ -56,7 +57,7 @@ def run(
         # Multi-device propagation: both adjacencies partitioned over the
         # mesh, boundary features exchanged per hop (parallel/inductive.py).
         feats_eval, feats_train, t_full = _sharded_propagate(
-            data, degree, inductive
+            data, degree, inductive, formulation
         )
         t_train_pre = 0.0
     else:
@@ -156,8 +157,17 @@ def _locality_propagate(data, degree: int, inductive: bool):
     return feats_eval, feats_train, t_full, t_train_pre, prep_s
 
 
-def _sharded_propagate(data, degree: int, inductive: bool):
-    """Dual-adjacency propagation over all available devices."""
+def _sharded_propagate(data, degree: int, inductive: bool,
+                       formulation: str = "auto"):
+    """Dual-adjacency propagation over all available devices.
+
+    ``formulation="auto"`` (default) runs the sharded block-dense
+    formulation (parallel/blockdense.py — the fast multi-chip path);
+    ``"segment"`` keeps the gather/segment kernel."""
+    if formulation == "auto":
+        formulation = "blockdense"
+    if formulation not in ("segment", "blockdense"):
+        raise ValueError(f"unknown formulation {formulation!r}")
     from time import perf_counter
 
     import jax
@@ -180,11 +190,18 @@ def _sharded_propagate(data, degree: int, inductive: bool):
 
         pgraph = partition_graph(data.graph, n_dev)
         halo = build_halo(pgraph)
+        bd = None
+        if formulation == "blockdense":
+            from sgc_tpu.parallel.blockdense import build_sharded_blockdense
+
+            bd = build_sharded_blockdense(
+                pgraph, halo, int(data.features.shape[1]))
         t0 = perf_counter()
         x = shard_features(
             mesh, pad_node_rows(data.features, pgraph.n_rows_padded)
         )
-        eval_s = propagate_sharded(mesh, pgraph, x, degree, halo=halo)
+        eval_s = propagate_sharded(mesh, pgraph, x, degree, halo=halo,
+                                   blockdense=bd)
         sync(eval_s)
         t = perf_counter() - t0
         feats_eval = eval_s[: data.graph.n_rows]
@@ -192,7 +209,9 @@ def _sharded_propagate(data, degree: int, inductive: bool):
         return feats_eval, feats_train, t
 
     dual = build_dual_partition(
-        data.graph, data.train_graph, data.idx_train, n_dev
+        data.graph, data.train_graph, data.idx_train, n_dev,
+        formulation=formulation,
+        n_features=int(data.features.shape[1]),
     )
     t0 = perf_counter()
     eval_s, train_s = inductive_dual_propagate(
@@ -222,6 +241,10 @@ def main() -> None:
     parser.add_argument("--weight_decay", type=float, default=0.0)
     parser.add_argument("--normalization", default="AugNormAdj")
     parser.add_argument("--data_path", default=None)
+    parser.add_argument("--formulation", default="auto",
+                        choices=["auto", "segment", "blockdense"],
+                        help="sharded propagation kernel (auto = the "
+                             "block-dense fast path)")
     args = parser.parse_args()
 
     res = run(
@@ -236,6 +259,7 @@ def main() -> None:
         normalization=args.normalization,
         seed=args.seed,
         data_path=args.data_path,
+        formulation=args.formulation,
     )
     print(
         "Total Time: {:.4f}s, {} F1: {:.4f}".format(

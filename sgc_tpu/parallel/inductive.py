@@ -39,6 +39,8 @@ class DualPartition:
     full_halo: object
     train_halo: object
     idx_train: np.ndarray   # train node ids in full-graph numbering
+    full_bd: object = None  # ShardedBlockDense plans (blockdense mode)
+    train_bd: object = None
 
 
 def build_dual_partition(
@@ -46,16 +48,43 @@ def build_dual_partition(
     train_graph: SparseGraph,
     idx_train: np.ndarray,
     n_parts: int,
+    formulation: str = "segment",
+    n_features: int | None = None,
+    row_block: int = 512,
+    stripe: int = 512,
 ) -> DualPartition:
-    """Partition both adjacencies and precompute their exchange plans."""
+    """Partition both adjacencies and precompute their exchange plans.
+
+    ``formulation="blockdense"`` additionally builds the per-part
+    dense-cell plans (parallel/blockdense.py) for BOTH adjacencies —
+    the fast sharded formulation on the inductive dual flow;
+    ``n_features`` (the per-chip feature width) is then required for
+    the admission model.
+    """
     pf = partition_graph(full_graph, n_parts)
     pt = partition_graph(train_graph, n_parts)
+    hf = build_halo(pf)
+    ht = build_halo(pt)
+    full_bd = train_bd = None
+    if formulation == "blockdense":
+        if n_features is None:
+            raise ValueError("blockdense needs n_features for admission")
+        from sgc_tpu.parallel.blockdense import build_sharded_blockdense
+
+        full_bd = build_sharded_blockdense(
+            pf, hf, n_features, row_block=row_block, stripe=stripe)
+        train_bd = build_sharded_blockdense(
+            pt, ht, n_features, row_block=row_block, stripe=stripe)
+    elif formulation != "segment":
+        raise ValueError(f"unknown formulation {formulation!r}")
     return DualPartition(
         full=pf,
         train=pt,
-        full_halo=build_halo(pf),
-        train_halo=build_halo(pt),
+        full_halo=hf,
+        train_halo=ht,
         idx_train=np.asarray(idx_train),
+        full_bd=full_bd,
+        train_bd=train_bd,
     )
 
 
@@ -75,7 +104,8 @@ def inductive_dual_propagate(
 
     x_full = shard_features(mesh, pad_node_rows(jnp.asarray(x), n))
     eval_feats = propagate_sharded(
-        mesh, dual.full, x_full, degree, halo=dual.full_halo
+        mesh, dual.full, x_full, degree, halo=dual.full_halo,
+        blockdense=dual.full_bd,
     )
 
     # select train rows from the shared store, re-pad to the train row
@@ -85,6 +115,7 @@ def inductive_dual_propagate(
         mesh, pad_node_rows(train_in, dual.train.n_rows_padded)
     )
     train_feats = propagate_sharded(
-        mesh, dual.train, train_in, degree, halo=dual.train_halo
+        mesh, dual.train, train_in, degree, halo=dual.train_halo,
+        blockdense=dual.train_bd,
     )
     return eval_feats, train_feats
