@@ -66,3 +66,22 @@ def test_dual_partition_descriptors_are_independent():
     assert dual.full.rows_per_part != dual.train.rows_per_part or (
         full.n_rows == train.n_rows
     )
+
+
+def test_dual_propagate_blockdense_matches_segment():
+    """The blockdense dual flow (cli/reddit --sharded default) matches
+    the segment dual flow to bf16 cell tolerance on both feature sets."""
+    full, train, idx_train, x = _reddit_like(seed=3)
+    mesh = make_mesh(4, 1)
+    seg = build_dual_partition(full, train, idx_train, 4)
+    bd = build_dual_partition(full, train, idx_train, 4,
+                              formulation="blockdense", n_features=24,
+                              row_block=32, stripe=32)
+    assert bd.full_bd is not None and bd.train_bd is not None
+
+    ev_s, tr_s = inductive_dual_propagate(mesh, seg, jnp.asarray(x), 2)
+    ev_b, tr_b = inductive_dual_propagate(mesh, bd, jnp.asarray(x), 2)
+    for a, b in ((ev_s, ev_b), (tr_s, tr_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() / scale < 2e-2
