@@ -40,6 +40,45 @@ from sgc_tpu.parallel.spmm import propagate_sharded, shard_features
 from sgc_tpu.parallel.train import init_sharded_state, make_sharded_train_step
 
 
+class _FitCheckpointer:
+    """Sharded train-state checkpoints for :func:`fit_sharded`.
+
+    State (params + Adam moments) goes through
+    ``utils.checkpoint.save_sharded`` (orbax: device shardings
+    preserved, per-host parallel writes); progress metadata is a json
+    written atomically (tmp + rename) next to it.
+    """
+
+    def __init__(self, directory):
+        from pathlib import Path
+
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def save(self, state, epoch: int, losses: list) -> None:
+        import json
+
+        from sgc_tpu.utils.checkpoint import save_sharded
+
+        save_sharded(self.dir / "state", state)
+        tmp = self.dir / "meta.json.tmp"
+        tmp.write_text(json.dumps({"epoch": epoch, "losses": losses}))
+        tmp.replace(self.dir / "meta.json")
+
+    def restore(self, like):
+        """(state, epoch, losses) from the latest save, or None."""
+        import json
+
+        from sgc_tpu.utils.checkpoint import load_sharded
+
+        meta_p = self.dir / "meta.json"
+        if not meta_p.exists():
+            return None
+        meta = json.loads(meta_p.read_text())
+        state = load_sharded(self.dir / "state", like=like)
+        return state, int(meta["epoch"]), list(meta["losses"])
+
+
 @dataclasses.dataclass
 class FitReport:
     loss_history: list
@@ -69,6 +108,8 @@ def fit_sharded(
     formulation: str = "auto",
     row_block: int = 512,
     stripe: int = 512,
+    checkpoint_dir: str | None = None,
+    save_every: int = 25,
 ):
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
 
@@ -96,6 +137,15 @@ def fit_sharded(
     blocks then align with communities, shrinking the halo. Labels/
     features/idx_train travel with their nodes; the returned params are
     node-order-independent, so nothing needs restoring.
+
+    ``checkpoint_dir``: preemption-safe training — the sharded train
+    state (params + Adam moments, device shardings preserved via orbax)
+    is saved every ``save_every`` epochs and on completion; a rerun with
+    the same directory resumes from the last saved epoch. Propagation is
+    recomputed on resume (it is the deterministic one-time precompute —
+    the SGC factorization means only the cheap head epochs replay).
+    Full-batch training is deterministic, so an interrupted-and-resumed
+    fit matches an uninterrupted one exactly.
     """
     from sgc_tpu.models.sgc import SGCParams
     from sgc_tpu.parallel.halo import halo_fraction
@@ -187,8 +237,16 @@ def fit_sharded(
         mesh, pgraph, degree=0, lr=lr, weight_decay=weight_decay
     )
 
+    start_epoch = 0
+    losses_done: list = []
+    ckpt = _FitCheckpointer(checkpoint_dir) if checkpoint_dir else None
+    if ckpt is not None:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, start_epoch, losses_done = restored
+
     losses = []
-    for i in range(epochs):
+    for i in range(start_epoch, epochs):
         state, loss = step(state, x, y, m)
         losses.append(loss)          # stay async: no per-epoch host sync
         if (i + 1) % 16 == 0:
@@ -198,7 +256,13 @@ def fit_sharded(
             # cora scale); on hardware this costs a handful of host
             # round-trips per fit
             float(fetch_global(loss))
-    losses = [float(fetch_global(l)) for l in losses]
+        if ckpt is not None and (i + 1) % save_every == 0 and i + 1 < epochs:
+            ckpt.save(state, i + 1,
+                      losses_done + [float(fetch_global(l))
+                                     for l in losses])
+    losses = losses_done + [float(fetch_global(l)) for l in losses]
+    if ckpt is not None:
+        ckpt.save(state, epochs, losses)
 
     # pull params to host (replicate the TP-sharded W; collective when
     # the feat axis spans processes)

@@ -191,3 +191,35 @@ def test_fit_sharded_segment_formulation_unchanged():
     assert report.formulation == "segment"
     assert report.dense_fraction == 0.0
     assert report.train_accuracy > 0.9
+
+
+def test_fit_sharded_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Preemption-safe distributed training: interrupt at epoch 20 (via
+    a first fit that saves there), rerun with the same checkpoint dir —
+    the resumed fit must reproduce the uninterrupted run's losses and
+    params exactly (full-batch training is deterministic)."""
+    import jax
+
+    graph, x, y, idx_train, c = _task(seed=6)
+    mesh = make_mesh(4, 2)
+    kw = dict(mesh=mesh, degree=2, epochs=40, lr=0.2, weight_decay=1e-5,
+              formulation="segment")
+
+    ref_params, ref_report = fit_sharded(
+        graph, x, y, idx_train, c, **kw)
+
+    ck = tmp_path / "ckpt"
+    # phase 1: "preempted" after 20 epochs (epochs=20 saves on completion)
+    fit_sharded(graph, x, y, idx_train, c,
+                checkpoint_dir=str(ck), **{**kw, "epochs": 20})
+    assert (ck / "meta.json").exists()
+    # phase 2: same dir, full epoch budget -> resumes from 20
+    params, report = fit_sharded(
+        graph, x, y, idx_train, c, checkpoint_dir=str(ck), **kw)
+
+    assert len(report.loss_history) == 40
+    np.testing.assert_allclose(
+        report.loss_history, ref_report.loss_history, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(params.w), np.asarray(ref_params.w), rtol=1e-6,
+        atol=1e-7)
