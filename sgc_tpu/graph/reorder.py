@@ -193,7 +193,13 @@ def lpa_order(
             min_moved_frac=min_moved)
     else:
         labels = _lpa_labels_sync(csr, max_iter, seed, min_moved)
-    # canonicalize: largest community first, ascending old id within
+    return _canonical_order_from_labels(labels, n)
+
+
+def _canonical_order_from_labels(labels: np.ndarray, n: int) -> np.ndarray:
+    """Community labels -> node order: largest community first,
+    ascending old id within (shared by lpa_order and the scipy-free
+    fast path in reorder_graph_arrays)."""
     comm_ids, comm_inverse, comm_sizes = np.unique(
         labels, return_inverse=True, return_counts=True)
     rank = np.empty(len(comm_ids), np.int64)
@@ -255,12 +261,49 @@ def reorder_graph_arrays(graph, name: str, features, labels, idx):
     """
     import scipy.sparse as sp_  # noqa: N813 (module-local alias)
 
+    from sgc_tpu import native
     from sgc_tpu.graph.sparse import SparseGraph
 
     nnz = graph.nnz
+    rows = np.asarray(graph.rows)[:nnz].astype(np.int64)
+    cols = np.asarray(graph.cols)[:nnz].astype(np.int64)
+    vals = np.asarray(graph.vals)[:nnz].astype(np.float32)
+
+    if name == "lpa" and native.available() and graph.n_rows == graph.n_cols:
+        # scipy-free fast path: the coo->csr conversion plus the
+        # [perm][:, perm] fancy-index permute allocate several
+        # hundred-MB arrays each, which pay the first-touch fault wall
+        # (utils/alloc.py) — measured as the dominant 10-30 s of
+        # order_s variance at Reddit scale. The graph's own (row,col)-
+        # sorted arrays already ARE the CSR: coalesce (tocsr parity:
+        # duplicate edges sum), row_ptr, native LPA, then permute the
+        # COO directly and rebuild via the native radix sort.
+        rows, cols, vals = native.coalesce(rows, cols, vals)
+        indptr = native.row_ptr_from_sorted(rows, graph.n_rows)
+        lab, _ = native.lpa_labels(indptr, cols)
+        order = _canonical_order_from_labels(lab, graph.n_rows)
+        inv = np.empty(graph.n_rows, np.int64)
+        inv[order] = np.arange(graph.n_rows)
+        graph_p = SparseGraph.from_coo(
+            inv[rows], inv[cols], vals, n_rows=graph.n_rows,
+            n_cols=graph.n_cols, device=False)
+        feats = np.asarray(features)
+        if feats.dtype == np.float32 and feats.ndim == 2:
+            # the permuted copy is the largest host allocation here
+            # (560 MB at Reddit scale) — hugepage-backed (utils/alloc)
+            from sgc_tpu.utils.alloc import zeros_hugepage
+
+            features_p = zeros_hugepage(feats.size, np.float32).reshape(
+                feats.shape)
+            np.take(feats, order, axis=0, out=features_p)
+        else:
+            features_p = feats[order]
+        labels_p = np.asarray(labels)[order]
+        idx_p = np.sort(inv[np.asarray(idx)])
+        return graph_p, features_p, labels_p, idx_p, order
+
     adj = sp_.coo_matrix(
-        (np.asarray(graph.vals)[:nnz],
-         (np.asarray(graph.rows)[:nnz], np.asarray(graph.cols)[:nnz])),
+        (vals, (rows, cols)),
         shape=(graph.n_rows, graph.n_cols)).tocsr()
     order = fetch_ordering(name)(adj)
     adj_p, features_p, labels_p = apply_order(

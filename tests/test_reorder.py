@@ -139,3 +139,62 @@ def test_degree_order_descending():
     deg = np.diff(adj.tocsr().indptr)
     assert deg[order[0]] == deg.max()
     assert np.all(np.diff(deg[order]) <= 0)
+
+
+def test_reorder_graph_arrays_fast_path_matches_scipy_path(monkeypatch):
+    """The scipy-free lpa fast path (native coalesce + row_ptr + direct
+    COO permute) must reproduce the scipy coo->csr->fancy-index path
+    EXACTLY — order, edges, values (duplicates summed), features,
+    labels, idx."""
+    import numpy as np
+
+    import sgc_tpu.graph.reorder as ro
+    import sgc_tpu.native as nat
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(4)
+    n, e = 300, 4000
+    r = rng.integers(0, n, e)
+    c = rng.integers(0, n, e)
+    # duplicates: tocsr SUMS them; the fast path must coalesce too
+    r[100:150] = r[0]
+    c[100:150] = c[0]
+    v = rng.standard_normal(e).astype(np.float32)
+    g = SparseGraph.from_coo(r, c, v, n, n, device=False)
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    y = rng.integers(0, 4, n).astype(np.int32)
+    idx = np.sort(rng.choice(n, 40, replace=False))
+
+    fast = ro.reorder_graph_arrays(g, "lpa", feats, y, idx)
+
+    # force the scipy path by hiding the native library from the gate
+    # (reorder_graph_arrays imports sgc_tpu.native inside the function)
+    monkeypatch.setattr(nat, "available", lambda: False)
+    # ... but lpa_order's own impl="auto" would then warn and use the
+    # sync solver (different fixpoint); pin the native label solver so
+    # both paths use identical labels
+    real_fetch = ro.fetch_ordering
+    monkeypatch.setattr(
+        ro, "fetch_ordering",
+        lambda name: (lambda adj: ro.lpa_order(adj, impl="native"))
+        if name == "lpa" else real_fetch(name))
+    slow = ro.reorder_graph_arrays(g, "lpa", feats, y, idx)
+
+    gf, ff, yf, idxf, of = fast
+    gs, fs, ys, idxs, os_ = slow
+    np.testing.assert_array_equal(of, os_)
+    assert gf.nnz == gs.nnz
+    np.testing.assert_array_equal(
+        np.asarray(gf.rows)[:gf.nnz], np.asarray(gs.rows)[:gs.nnz])
+    np.testing.assert_array_equal(
+        np.asarray(gf.cols)[:gf.nnz], np.asarray(gs.cols)[:gs.nnz])
+    np.testing.assert_allclose(
+        np.asarray(gf.vals)[:gf.nnz], np.asarray(gs.vals)[:gs.nnz],
+        rtol=1e-6)
+    np.testing.assert_array_equal(ff, fs)
+    np.testing.assert_array_equal(yf, ys)
+    np.testing.assert_array_equal(idxf, idxs)
