@@ -45,6 +45,11 @@ def run(
     if locality and sharded:
         raise ValueError("--locality applies to the single-device path "
                          "(the sharded path partitions by node range)")
+    if formulation != "auto" and not sharded:
+        raise ValueError(
+            "--formulation selects the SHARDED propagation kernel; pass "
+            "--sharded with it (the --locality path has its own "
+            "formulation auto-selection)")
     if locality:
         # Community-locality pipeline (graph/locality.py): LPA reorder +
         # cost-model MXU/XLA hybrid hops — the bench.py headline path,

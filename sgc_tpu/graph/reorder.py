@@ -131,11 +131,15 @@ def spectral_order(adj: sp.spmatrix, tol: float = 1e-4) -> np.ndarray:
     return np.concatenate([order_component(p) for p in parts])
 
 
+LPA_MAX_ITER = 20
+LPA_MIN_MOVED = 1e-3
+
+
 def lpa_order(
     adj: sp.spmatrix,
-    max_iter: int = 20,
+    max_iter: int = LPA_MAX_ITER,
     seed: int = 0,
-    min_moved: float = 1e-3,
+    min_moved: float = LPA_MIN_MOVED,
     impl: str = "auto",
 ) -> np.ndarray:
     """Community ordering by label propagation (Raghavan et al. 2007).
@@ -280,7 +284,11 @@ def reorder_graph_arrays(graph, name: str, features, labels, idx):
         # COO directly and rebuild via the native radix sort.
         rows, cols, vals = native.coalesce(rows, cols, vals)
         indptr = native.row_ptr_from_sorted(rows, graph.n_rows)
-        lab, _ = native.lpa_labels(indptr, cols)
+        # shared constants: this path and lpa_order must stay the same
+        # fixpoint (a drifted default would silently change orderings
+        # between the two entry points)
+        lab, _ = native.lpa_labels(indptr, cols, max_iter=LPA_MAX_ITER,
+                                   min_moved_frac=LPA_MIN_MOVED)
         order = _canonical_order_from_labels(lab, graph.n_rows)
         inv = np.empty(graph.n_rows, np.int64)
         inv[order] = np.arange(graph.n_rows)

@@ -45,38 +45,79 @@ class _FitCheckpointer:
 
     State (params + Adam moments) goes through
     ``utils.checkpoint.save_sharded`` (orbax: device shardings
-    preserved, per-host parallel writes); progress metadata is a json
-    written atomically (tmp + rename) next to it.
+    preserved, per-host parallel writes). Crash-safety contract:
+
+    * state goes to an EPOCH-TAGGED directory (``state_<epoch>``) and
+      ``meta.json`` — written atomically (tmp + rename), by process 0
+      only — names the epoch it belongs to; a preemption between the two
+      writes leaves the PREVIOUS consistent (meta, state) pair in force.
+    * ``fingerprint`` (run configuration + data identity) is stored in
+      the meta and validated on restore — a changed run silently gets a
+      fresh start instead of someone else's state (same rationale as
+      utils.checkpoint.propagation_fingerprint).
+    * any restore failure (partial state, garbled meta) degrades to
+      "no checkpoint" with a warning, never a crash loop.
     """
 
-    def __init__(self, directory):
+    def __init__(self, directory, fingerprint: str):
         from pathlib import Path
 
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.fingerprint = fingerprint
+
+    def _is_proc0(self) -> bool:
+        return jax.process_index() == 0
 
     def save(self, state, epoch: int, losses: list) -> None:
         import json
 
         from sgc_tpu.utils.checkpoint import save_sharded
 
-        save_sharded(self.dir / "state", state)
-        tmp = self.dir / "meta.json.tmp"
-        tmp.write_text(json.dumps({"epoch": epoch, "losses": losses}))
-        tmp.replace(self.dir / "meta.json")
+        state_dir = self.dir / f"state_{epoch}"
+        save_sharded(state_dir, state)   # all processes (orbax coordinates)
+        if self._is_proc0():
+            tmp = self.dir / "meta.json.tmp"
+            tmp.write_text(json.dumps({
+                "epoch": epoch, "losses": losses,
+                "fingerprint": self.fingerprint,
+            }))
+            tmp.replace(self.dir / "meta.json")
+            # old state dirs are garbage once meta points past them
+            for p in self.dir.glob("state_*"):
+                if p != state_dir:
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
 
     def restore(self, like):
-        """(state, epoch, losses) from the latest save, or None."""
+        """(state, epoch, losses) from the latest CONSISTENT save, or
+        None (missing, mismatched fingerprint, or unreadable)."""
         import json
+        import warnings
 
         from sgc_tpu.utils.checkpoint import load_sharded
 
         meta_p = self.dir / "meta.json"
         if not meta_p.exists():
             return None
-        meta = json.loads(meta_p.read_text())
-        state = load_sharded(self.dir / "state", like=like)
-        return state, int(meta["epoch"]), list(meta["losses"])
+        try:
+            meta = json.loads(meta_p.read_text())
+            if meta.get("fingerprint") != self.fingerprint:
+                warnings.warn(
+                    f"{self.dir}: checkpoint belongs to a different run "
+                    "(fingerprint mismatch) — starting fresh",
+                    stacklevel=2)
+                return None
+            state = load_sharded(self.dir / f"state_{meta['epoch']}",
+                                 like=like)
+            return state, int(meta["epoch"]), list(meta["losses"])
+        except Exception as exc:
+            warnings.warn(
+                f"{self.dir}: unreadable checkpoint "
+                f"({type(exc).__name__}: {exc}) — starting fresh",
+                stacklevel=2)
+            return None
 
 
 @dataclasses.dataclass
@@ -222,12 +263,9 @@ def fit_sharded(
     x = propagate_sharded(mesh, pgraph, x, degree, halo=halo,
                           blockdense=blockdense)
 
-    y = np.zeros(pgraph.n_rows_padded, np.int32)
-    y[: len(labels)] = np.asarray(labels, np.int32)
-    m = np.zeros(pgraph.n_rows_padded, np.float32)
-    m[np.asarray(idx_train)] = 1.0
-    y = put_global(mesh, P(NODES_AXIS), y)
-    m = put_global(mesh, P(NODES_AXIS), m)
+    from sgc_tpu.parallel.train import place_node_targets
+
+    y, m = place_node_targets(mesh, pgraph.n_rows_padded, labels, idx_train)
 
     state = init_sharded_state(
         mesh, jax.random.PRNGKey(seed), int(x.shape[1]), n_classes,
@@ -238,29 +276,54 @@ def fit_sharded(
     )
 
     start_epoch = 0
-    losses_done: list = []
-    ckpt = _FitCheckpointer(checkpoint_dir) if checkpoint_dir else None
-    if ckpt is not None:
+    host_losses: list = []           # floats for completed epochs
+    ckpt = None
+    if checkpoint_dir:
+        # fingerprint ties the checkpoint to THIS run's configuration +
+        # data identity: a changed run starts fresh instead of training
+        # on someone else's state
+        import hashlib
+
+        fp = hashlib.sha256(repr((
+            "fit_sharded_v1", graph.nnz, graph.n_rows,
+            int(np.asarray(features).shape[1]), n_classes, degree, lr,
+            weight_decay, seed, formulation, n_parts, n_feat_parts,
+            reorder, row_block, stripe,
+        )).encode()).hexdigest()[:16]
+        ckpt = _FitCheckpointer(checkpoint_dir, fp)
         restored = ckpt.restore(state)
         if restored is not None:
-            state, start_epoch, losses_done = restored
+            r_state, r_epoch, r_losses = restored
+            if r_epoch <= epochs:
+                state, start_epoch, host_losses = (
+                    r_state, r_epoch, r_losses)
+            else:
+                import warnings
 
-    losses = []
+                warnings.warn(
+                    f"{checkpoint_dir}: saved epoch {r_epoch} exceeds the "
+                    f"requested {epochs} — ignoring the checkpoint",
+                    stacklevel=2)
+
+    pending = []                      # device losses since the last drain
     for i in range(start_epoch, epochs):
         state, loss = step(state, x, y, m)
-        losses.append(loss)          # stay async: no per-epoch host sync
-        if (i + 1) % 16 == 0:
-            # drain the dispatch queue every 16 epochs: ~unbounded
-            # async depth floods XLA:CPU's in-process communicator
-            # (stuck-collective watchdog SIGABRTs the virtual mesh at
-            # cora scale); on hardware this costs a handful of host
-            # round-trips per fit
-            float(fetch_global(loss))
-        if ckpt is not None and (i + 1) % save_every == 0 and i + 1 < epochs:
-            ckpt.save(state, i + 1,
-                      losses_done + [float(fetch_global(l))
-                                     for l in losses])
-    losses = losses_done + [float(fetch_global(l)) for l in losses]
+        pending.append(loss)          # stay async: no per-epoch host sync
+        drain = (i + 1) % 16 == 0 or i + 1 == epochs
+        if ckpt is not None and (i + 1) % save_every == 0:
+            drain = True
+        if drain:
+            # drain the dispatch queue every 16 epochs (unbounded async
+            # depth floods XLA:CPU's in-process communicator — the
+            # stuck-collective watchdog SIGABRTs the virtual mesh at
+            # cora scale) and convert just the NEW slice to host floats
+            # — each loss crosses the host boundary exactly once
+            host_losses.extend(float(fetch_global(l)) for l in pending)
+            pending = []
+        if (ckpt is not None and (i + 1) % save_every == 0
+                and i + 1 < epochs):
+            ckpt.save(state, i + 1, host_losses)
+    losses = host_losses
     if ckpt is not None:
         ckpt.save(state, epochs, losses)
 

@@ -54,6 +54,13 @@ def gcn_apply_sharded(
     axis stays unsharded — weights are replicated, the DataParallel
     layout).
     """
+    from sgc_tpu.parallel.mesh import FEAT_AXIS
+
+    if mesh.shape[FEAT_AXIS] != 1:
+        raise ValueError(
+            "gcn_apply_sharded needs a ('nodes', 1) mesh: hidden widths "
+            "change per layer, so the feature axis must stay unsharded "
+            f"(got feat axis size {mesh.shape[FEAT_AXIS]})")
     h = x @ params.w1 + params.b1
     h = spmm_sharded(mesh, pgraph, h, halo=halo, blockdense=blockdense)
     if use_relu:
@@ -126,17 +133,20 @@ def fit_gcn_sharded(
 ):
     """One-call distributed GCN fit (the fit_sharded analog for the
     nonlinear family). Returns (host GCNParams, loss_history)."""
-    from sgc_tpu.parallel.distributed import fetch_global, put_global
+    from sgc_tpu.parallel.distributed import fetch_global
     from sgc_tpu.parallel.halo import build_halo
-    from sgc_tpu.parallel.mesh import make_mesh
+    from sgc_tpu.parallel.mesh import FEAT_AXIS, make_mesh
     from sgc_tpu.parallel.partition import (
         pad_node_rows,
         partition_graph,
     )
     from sgc_tpu.parallel.spmm import shard_features
+    from sgc_tpu.parallel.train import place_node_targets
 
     if mesh is None:
         mesh = make_mesh(len(jax.devices()), 1)
+    if mesh.shape[FEAT_AXIS] != 1:
+        raise ValueError("fit_gcn_sharded needs a ('nodes', 1) mesh")
     n_parts = mesh.shape[NODES_AXIS]
     pgraph = partition_graph(graph, n_parts)
     halo = build_halo(pgraph, overlap=True) if use_halo else None
@@ -146,12 +156,8 @@ def fit_gcn_sharded(
         pgraph.n_rows_padded)
     x = shard_features(mesh, x)
 
-    y = np.zeros(pgraph.n_rows_padded, np.int32)
-    y[: len(labels)] = np.asarray(labels, np.int32)
-    m = np.zeros(pgraph.n_rows_padded, np.float32)
-    m[np.asarray(idx_train)] = 1.0
-    y = put_global(mesh, P(NODES_AXIS), y)
-    m = put_global(mesh, P(NODES_AXIS), m)
+    y, m = place_node_targets(mesh, pgraph.n_rows_padded, labels,
+                              idx_train)
 
     state = init_sharded_gcn(
         mesh, jax.random.PRNGKey(seed), int(x.shape[1]), n_hidden,

@@ -43,6 +43,21 @@ from sgc_tpu.parallel.spmm import _local_spmm
 from sgc_tpu.train.optim import torch_adam
 
 
+def place_node_targets(mesh, n_rows_padded: int, labels, idx_train):
+    """(labels, mask) zero-padded to the partition row space and placed
+    P("nodes") on the mesh — shared by fit_sharded and fit_gcn_sharded."""
+    import numpy as np
+
+    from sgc_tpu.parallel.distributed import put_global
+
+    y = np.zeros(n_rows_padded, np.int32)
+    y[: len(labels)] = np.asarray(labels, np.int32)
+    m = np.zeros(n_rows_padded, np.float32)
+    m[np.asarray(idx_train)] = 1.0
+    return (put_global(mesh, P(NODES_AXIS), y),
+            put_global(mesh, P(NODES_AXIS), m))
+
+
 class ShardedTrainState(NamedTuple):
     params: SGCParams       # w: P(feat, None); b: replicated
     opt_state: tuple        # same shardings as params

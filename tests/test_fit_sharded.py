@@ -223,3 +223,41 @@ def test_fit_sharded_checkpoint_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params.w), np.asarray(ref_params.w), rtol=1e-6,
         atol=1e-7)
+
+
+def test_fit_sharded_checkpoint_safety(tmp_path):
+    """Wrong-run and corrupted checkpoints degrade to a fresh start
+    (warning, never a crash or silently-wrong params)."""
+    import warnings
+
+    graph, x, y, idx_train, c = _task(seed=8)
+    mesh = make_mesh(4, 1)
+    ck = tmp_path / "ckpt"
+    kw = dict(mesh=mesh, degree=2, epochs=20, formulation="segment",
+              checkpoint_dir=str(ck))
+
+    fit_sharded(graph, x, y, idx_train, c, lr=0.2, **kw)
+    assert (ck / "meta.json").exists()
+
+    # different hyperparams => fingerprint mismatch => fresh start
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, report = fit_sharded(graph, x, y, idx_train, c, lr=0.1, **kw)
+    assert any("fingerprint mismatch" in str(x.message) for x in w)
+    assert len(report.loss_history) == 20  # trained from scratch
+
+    # garbled meta => fresh start, not a crash loop
+    (ck / "meta.json").write_text("{not json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, report = fit_sharded(graph, x, y, idx_train, c, lr=0.2, **kw)
+    assert any("unreadable checkpoint" in str(x.message) for x in w)
+    assert len(report.loss_history) == 20
+
+    # saved epoch beyond the requested budget => ignored with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, report = fit_sharded(graph, x, y, idx_train, c, lr=0.2,
+                                **{**kw, "epochs": 10})
+    assert any("exceeds the requested" in str(x.message) for x in w)
+    assert len(report.loss_history) == 10
