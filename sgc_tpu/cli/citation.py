@@ -26,12 +26,21 @@ def run(
     cfg: CitationConfig,
     data_path: str | None = None,
     propagator: str = "sgc",
+    sharded: bool = False,
 ) -> dict:
     cfg = cfg.resolve()
     key = set_seed(cfg.seed)
     data = load_citation(cfg.dataset, cfg.normalization, data_path)
 
     init_fn, apply_fn = get_model(cfg.model)
+
+    if sharded:
+        # multi-device training over all available chips: fit_sharded
+        # (SGC: one sharded propagation + SPMD head epochs) or
+        # fit_gcn_sharded (GCN: per-layer sharded SpMM inside the step)
+        if propagator != "sgc":
+            raise ValueError("--sharded supports the sgc propagator only")
+        return _run_sharded(cfg, data)
 
     if cfg.model == "SGC":
         params = init_fn(key, data.features.shape[1], data.n_classes)
@@ -88,6 +97,62 @@ def run(
     }
 
 
+def _run_sharded(cfg, data) -> dict:
+    """Citation training over all available devices (the multi-chip face
+    of the CLI: fit_sharded / fit_gcn_sharded)."""
+    from time import perf_counter
+
+    import numpy as np
+
+    from sgc_tpu.ops.propagate import propagate
+
+    feats = np.asarray(data.features)
+    labels = np.asarray(data.labels)
+    idx_train = np.asarray(data.idx_train)
+
+    t0 = perf_counter()
+    if cfg.model == "SGC":
+        from sgc_tpu.parallel.fit import fit_sharded
+
+        params, report = fit_sharded(
+            data.graph, feats, labels, idx_train, data.n_classes,
+            degree=cfg.degree, epochs=cfg.epochs, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+        # evaluate with the single-device propagation (params are
+        # node-order independent; w sliced back to the unpadded width)
+        feats_prop = propagate(data.features, data.graph, cfg.degree)
+        w = jnp.asarray(np.asarray(params.w)[: feats.shape[1]])
+        b = jnp.asarray(np.asarray(params.b))
+        logits_val = feats_prop[data.idx_val] @ w + b
+        logits_test = feats_prop[data.idx_test] @ w + b
+        extra = {"formulation": report.formulation,
+                 "halo_fraction": report.halo_fraction}
+    else:
+        from sgc_tpu.models.gcn import gcn_apply
+        from sgc_tpu.parallel.gcn import fit_gcn_sharded
+
+        params, losses = fit_gcn_sharded(
+            data.graph, feats, labels, idx_train, data.n_classes,
+            n_hidden=cfg.hidden or 16, epochs=cfg.epochs, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+        logits = gcn_apply(params, data.features, data.graph)
+        logits_val = logits[data.idx_val]
+        logits_test = logits[data.idx_test]
+        extra = {"final_loss": losses[-1]}
+    total = perf_counter() - t0
+
+    return {
+        "val_accuracy": accuracy(logits_val, data.labels[data.idx_val]),
+        "test_accuracy": accuracy(logits_test, data.labels[data.idx_test]),
+        "precompute_time": 0.0,
+        "train_time": total,
+        "total_time": total,
+        **extra,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset", default="cora")
@@ -102,6 +167,9 @@ def main() -> None:
                         choices=["sgc", "appnp", "ssgc"],
                         help="propagation scheme for the SGC path")
     parser.add_argument("--normalization", default="AugNormAdj")
+    parser.add_argument("--sharded", action="store_true",
+                        help="train over all available devices "
+                             "(fit_sharded / fit_gcn_sharded)")
     parser.add_argument("--degree", type=int, default=2)
     parser.add_argument("--tuned", action="store_true")
     parser.add_argument("--data_path", default=None)
@@ -123,7 +191,8 @@ def main() -> None:
     if cfg.tuned:
         cfg.resolve()
         print(f"using tuned weight decay: {cfg.weight_decay}")
-    res = run(cfg, args.data_path, propagator=args.propagator)
+    res = run(cfg, args.data_path, propagator=args.propagator,
+              sharded=args.sharded)
     print(
         "Validation Accuracy: {:.4f} Test Accuracy: {:.4f}".format(
             res["val_accuracy"], res["test_accuracy"]

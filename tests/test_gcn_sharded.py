@@ -129,3 +129,25 @@ def test_sharded_gcn_step_differentiates_through_blockdense():
         assert ls[-1] < ls[0]
     np.testing.assert_allclose(losses["blockdense"], losses["segment"],
                                rtol=2e-2, atol=1e-3)
+
+
+def test_citation_cli_sharded_smoke():
+    """--sharded on the citation CLI: both model families train over the
+    virtual mesh and reach sane cora accuracy."""
+    import pytest
+
+    from tests.conftest import requires_cora  # noqa: F401 (marker import)
+
+    from sgc_tpu.cli.citation import run
+    from sgc_tpu.utils.config import CitationConfig
+
+    try:
+        res = run(CitationConfig(dataset="cora", tuned=True), sharded=True)
+    except FileNotFoundError:
+        pytest.skip("cora data unavailable")
+    assert res["test_accuracy"] > 0.77
+    assert res["formulation"] in ("blockdense", "segment")
+
+    res = run(CitationConfig(dataset="cora", model="GCN", epochs=60,
+                             lr=0.01, weight_decay=5e-4), sharded=True)
+    assert res["test_accuracy"] > 0.75
