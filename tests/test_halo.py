@@ -144,6 +144,18 @@ def test_build_halo_scales_p256_10m_edges():
     hopeless here)."""
     import time
 
+    import pytest
+
+    # VM-state probe: this box intermittently enters a paging state
+    # where first-touch faults run ~27x slow (DESIGN §2e) — every
+    # wall-clock bound is meaningless there, so detect it directly
+    # (fresh 160 MB first-touch; nominal ~0.1 s, degraded >2 s) and skip.
+    probe = np.empty(20_000_000, np.float64)
+    t0 = time.perf_counter()
+    probe[::512] = 1.0
+    if time.perf_counter() - t0 > 2.0:
+        pytest.skip("VM in degraded paging state: timing bounds invalid")
+
     rng = np.random.default_rng(0)
     n, e = 1_000_000, 10_000_000
     rows = rng.integers(0, n, e)
