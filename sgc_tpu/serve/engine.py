@@ -37,6 +37,11 @@ class EngineConfig:
     warmup: bool = True            # compile all buckets at startup
     fanouts: tuple = (25, 10)      # inductive sampling fanouts
     quantize_int8: bool = False    # store features int8 + per-row scales
+    shard_store: bool = False      # shard the feature store over all
+    #                                devices (P("nodes") rows): serve
+    #                                stores larger than one chip's HBM;
+    #                                batch gathers cross shards via the
+    #                                SPMD partitioner (transductive only)
     seed: int = 0
 
 
@@ -124,8 +129,34 @@ class InferenceEngine:
                     "quantize_int8 is only supported in transductive mode "
                     "(sampled propagation needs full-precision features)"
                 )
+            if self.config.shard_store:
+                raise ValueError(
+                    "shard_store is only supported in transductive mode")
             self._graph = graph
             self._features = jnp.asarray(raw_features)
+
+        if self.config.shard_store and self._mode == "transductive":
+            # row-shard the serving asset over every device: N/D rows of
+            # the (possibly int8) feature store per chip; request-batch
+            # gathers cross shards via the SPMD partitioner. Rows are
+            # zero-padded to the device count so the shard sizes match.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from sgc_tpu.parallel.mesh import NODES_AXIS, make_mesh
+
+            mesh = make_mesh(len(jax.devices()), 1)
+            spec = NamedSharding(mesh, P(NODES_AXIS))
+
+            def _pad_rows(a):
+                pad = (-a.shape[0]) % mesh.shape[NODES_AXIS]
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                return jax.device_put(a, spec)
+
+            self._features = _pad_rows(self._features)
+            if self._scales is not None:
+                self._scales = _pad_rows(self._scales)
 
         self._bucket_sizes = _buckets(
             self.config.min_batch, self.config.max_batch

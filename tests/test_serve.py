@@ -221,3 +221,44 @@ def test_engine_rejects_non_integer_ids_and_bad_buckets():
     # exact integral floats (JSON round-trip artifacts) are accepted
     out = eng.predict_logits([1.0, 2.0])
     assert out.shape == (2, 3)
+
+
+def test_engine_shard_store_matches_unsharded():
+    """shard_store=True: the feature store rows shard over the 8-device
+    mesh; batch logits must equal the single-device engine bitwise
+    (same gather + matmul, cross-shard via the SPMD partitioner)."""
+    import numpy as np
+
+    import jax
+
+    from sgc_tpu.models.sgc import init_sgc
+    from sgc_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    rng = np.random.default_rng(0)
+    n, f, c = 103, 24, 5   # deliberately not divisible by 8 devices
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    params = init_sgc(jax.random.PRNGKey(1), f, c)
+
+    base = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(max_batch=16, min_batch=4, warmup=False))
+    sharded = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(max_batch=16, min_batch=4, warmup=False,
+                            shard_store=True))
+    ids = rng.integers(0, n, 11).astype(np.int32)
+    a = np.asarray(base.predict(ids))
+    b = np.asarray(sharded.predict(ids))
+    np.testing.assert_array_equal(a, b)
+
+    # int8 store composes with sharding
+    q = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(max_batch=16, min_batch=4, warmup=False,
+                            quantize_int8=True, shard_store=True))
+    qb = InferenceEngine(
+        params, features=feats,
+        config=EngineConfig(max_batch=16, min_batch=4, warmup=False,
+                            quantize_int8=True))
+    np.testing.assert_array_equal(np.asarray(q.predict(ids)),
+                                  np.asarray(qb.predict(ids)))
