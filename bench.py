@@ -443,6 +443,21 @@ def main() -> None:
             }
         except Exception as exc:
             log(f"sharded plan stats failed: {exc}")
+        # device-count x fabric sweep: where does the >=80% scaling claim
+        # FAIL, and which exchange wins there (VERDICT round-3 #5 — the
+        # single-point 8x180GB/s model rounded both variants to 1.0)
+        try:
+            from sgc_tpu.parallel.scaling import comm_sweep
+
+            t0 = time.perf_counter()
+            sweep = comm_sweep(
+                head["graph"], head["n_features"], head["edges_per_s"])
+            sweep["sweep_build_s"] = round(time.perf_counter() - t0, 1)
+            model["comm_sweep"] = sweep
+            fb = sweep["first_below_target"]
+            log(f"comm sweep: first below 0.8 = {fb}")
+        except Exception as exc:
+            log(f"comm sweep failed: {exc}")
     except Exception as exc:  # model failure must not kill the bench
         log(f"comm model failed: {exc}")
         model = {}

@@ -187,6 +187,108 @@ def comm_model(
     }
 
 
+def halo_width_model(
+    graph: SparseGraph, n_parts: int, row_align: int = 8
+) -> tuple[int, int]:
+    """(halo width H, padded row count) for a P-part row-block partition,
+    computed straight from the COO edge list — no ``[P, E_max]``
+    partition materialization, so sweeping many device counts stays
+    cheap at 10M+ edges. Exactness vs the real plan builder
+    (``build_halo(partition_graph(g, P)).halo_width``) is pinned by
+    tests/test_comm_model.py.
+    """
+    from sgc_tpu.parallel.halo import HALO_PAD
+    from sgc_tpu.parallel.partition import _round_up
+
+    P = n_parts
+    R = _round_up(-(-graph.n_rows // P), row_align)
+    rows = np.asarray(graph.rows)[: graph.nnz].astype(np.int64)
+    cols = np.asarray(graph.cols)[: graph.nnz].astype(np.int64)
+    vals = np.asarray(graph.vals)[: graph.nnz]
+    dst = np.minimum(rows // R, P - 1)
+    src = np.minimum(cols // R, P - 1)
+    remote = (vals != 0) & (src != dst)
+    ncp = np.int64(P) * R
+    key = (dst[remote] * P + src[remote]) * ncp + cols[remote]
+    if not len(key):
+        return HALO_PAD, P * R
+    pair = np.unique(key) // ncp
+    h_max = int(np.bincount(pair, minlength=P * P).max())
+    return _round_up(max(h_max, 1), HALO_PAD), P * R
+
+
+def comm_sweep(
+    graph: SparseGraph,
+    feature_dim: int,
+    single_rate_edges_s: float,
+    device_counts: tuple = (8, 16, 32, 64),
+    fabrics: dict | None = None,
+    bytes_per_elem: int = 4,
+    target: float = 0.8,
+) -> dict:
+    """Device-count x fabric-bandwidth sweep of the projected scaling
+    efficiency — the falsifiable form of the >=80% north star
+    (BASELINE.md:33-34; VERDICT round-3 #5: at 8 devices x 180 GB/s both
+    exchange variants round to 1.0, so a single-point model discriminates
+    nothing).
+
+    For every (P, fabric) the sweep projects BOTH exchange variants
+    (halo all_to_all vs full all-gather) with the same overlap model as
+    :func:`comm_model` and reports which wins; ``first_below_target`` is
+    the first configuration (fabric-major, devices ascending) where even
+    the winning exchange drops under ``target`` — the point at which the
+    claim would fail on real hardware.
+
+    Fabrics default to {"ici": 180 GB/s (v5e torus), "dcn": 25 GB/s
+    (2x100 Gbps-class NICs per host)} — MODEL constants, explicit in the
+    output so a real-pod measurement can audit every input.
+    """
+    if fabrics is None:
+        fabrics = {"ici": V5E_ICI_GBPS, "dcn": 25.0}
+    E = graph.nnz
+    F = feature_dim
+    rows = []
+    first_below = None
+    widths = {P: halo_width_model(graph, P) for P in device_counts}
+    for fabric, gbps in fabrics.items():
+        bw = gbps * 1e9
+        for P in device_counts:
+            H, n_pad = widths[P]
+            halo_bytes = (P - 1) * H * F * bytes_per_elem
+            ag_bytes = (n_pad - n_pad // P) * F * bytes_per_elem
+            t_local = (E / P) / max(single_rate_edges_s, 1.0)
+            eff_halo = t_local / max(t_local, halo_bytes / bw)
+            eff_ag = t_local / max(t_local, ag_bytes / bw)
+            winner = "halo" if eff_halo >= eff_ag else "all_gather"
+            row = {
+                "devices": P,
+                "fabric": fabric,
+                "gbps": gbps,
+                "halo_width": H,
+                "ici_bytes_per_hop_halo": int(halo_bytes),
+                "ici_bytes_per_hop_allgather": int(ag_bytes),
+                "efficiency_halo": round(eff_halo, 4),
+                "efficiency_allgather": round(eff_ag, 4),
+                "winner": winner,
+            }
+            rows.append(row)
+            if first_below is None and max(eff_halo, eff_ag) < target:
+                first_below = {
+                    "devices": P,
+                    "fabric": fabric,
+                    "gbps": gbps,
+                    "efficiency": round(max(eff_halo, eff_ag), 4),
+                    "winner": winner,
+                }
+    return {
+        "rate_edges_per_s": single_rate_edges_s,
+        "feature_dim": F,
+        "target": target,
+        "rows": rows,
+        "first_below_target": first_below,
+    }
+
+
 def comm_model_two_level(
     graph: SparseGraph,
     feature_dim: int,

@@ -175,6 +175,119 @@ def test_two_level_model_hier_beats_flat_on_clustered():
     assert m["dcn_bytes_per_hop_flat"] == 16 * m["halo_width"] * 64 * 4
 
 
+def test_halo_width_model_matches_plan_builder():
+    """halo_width_model (the sweep's cheap path) must reproduce the real
+    plan builder's H exactly — random AND clustered graphs, several P."""
+    from sgc_tpu.parallel.halo import build_halo
+    from sgc_tpu.parallel.scaling import halo_width_model
+
+    graphs = [_graph(n=512, e=4000, seed=8)]
+    # clustered: mostly intra-block edges
+    n = 512
+    rng = np.random.default_rng(9)
+    block = n // 8
+    src = rng.integers(0, n, 4000)
+    same = rng.random(4000) < 0.85
+    dst = np.where(
+        same,
+        (src // block) * block + rng.integers(0, block, 4000),
+        rng.integers(0, n, 4000),
+    )
+    graphs.append(
+        SparseGraph.from_coo(src, dst, np.ones(4000, np.float32), n, n))
+    for g in graphs:
+        for P in (2, 4, 8):
+            pg = partition_graph(g, P)
+            halo = build_halo(pg)
+            H, n_pad = halo_width_model(g, P)
+            assert H == halo.halo_width, (P, H, halo.halo_width)
+            assert n_pad == pg.n_rows_padded
+
+
+def test_comm_sweep_structure_and_first_below():
+    """The sweep must be falsifiable: with a fast chip rate, DCN-class
+    bandwidth drops below the 0.8 target somewhere in the sweep, and the
+    reported first_below_target is consistent with its own rows."""
+    from sgc_tpu.parallel.scaling import comm_sweep
+
+    g = _graph(n=512, e=8000, seed=10)
+    sweep = comm_sweep(g, feature_dim=256, single_rate_edges_s=1.5e8,
+                       device_counts=(2, 4, 8))
+    rows = sweep["rows"]
+    assert len(rows) == 3 * 2  # devices x fabrics
+    # bandwidth monotonicity: same config on a slower fabric can't win
+    by_key = {(r["fabric"], r["devices"]): r for r in rows}
+    for P in (2, 4, 8):
+        ici, dcn = by_key[("ici", P)], by_key[("dcn", P)]
+        assert dcn["efficiency_halo"] <= ici["efficiency_halo"]
+        assert dcn["efficiency_allgather"] <= ici["efficiency_allgather"]
+        # halo moves fewer bytes than all-gather, so it never loses
+        assert (r := by_key[("ici", P)])["ici_bytes_per_hop_halo"] <= \
+            r["ici_bytes_per_hop_allgather"]
+    fb = sweep["first_below_target"]
+    assert fb is not None, "sweep never crossed 0.8 — not falsifiable"
+    # the named config really is below target...
+    named = by_key[(fb["fabric"], fb["devices"])]
+    best = max(named["efficiency_halo"], named["efficiency_allgather"])
+    assert best < sweep["target"] and abs(best - fb["efficiency"]) < 1e-9
+    # ...and every row scanned before it was at/above target
+    for r in rows:
+        if (r["fabric"], r["devices"]) == (fb["fabric"], fb["devices"]):
+            break
+        assert max(r["efficiency_halo"],
+                   r["efficiency_allgather"]) >= sweep["target"]
+
+
+def _find_all_to_all_shapes(jaxpr, out):
+    """Collect operand shapes of every all_to_all in a jaxpr tree."""
+    for eqn in jaxpr.eqns:
+        if "all_to_all" in eqn.primitive.name:
+            out.append(tuple(eqn.invars[0].aval.shape))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                _find_all_to_all_shapes(v.jaxpr, out)
+            elif hasattr(v, "eqns"):
+                _find_all_to_all_shapes(v, out)
+    return out
+
+
+def test_comm_sweep_bytes_match_mesh_program():
+    """The model's per-hop halo bytes must equal what the actual sharded
+    program moves: the all_to_all operand in the virtual-mesh jaxpr is
+    the per-chip (P*H, F) send buffer, of which (P-1)/P crosses chips."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgc_tpu.parallel.halo import build_halo
+    from sgc_tpu.parallel.mesh import make_mesh
+    from sgc_tpu.parallel.partition import pad_node_rows
+    from sgc_tpu.parallel.scaling import comm_sweep
+    from sgc_tpu.parallel.spmm import propagate_sharded, shard_features
+
+    P, F = 8, 32
+    g = _graph(n=512, e=4000, seed=11)
+    sweep = comm_sweep(g, F, 1e8, device_counts=(P,))
+    row = next(r for r in sweep["rows"]
+               if r["devices"] == P and r["fabric"] == "ici")
+
+    mesh = make_mesh(P, 1)
+    pg = partition_graph(g, P)
+    halo = build_halo(pg)
+    x = shard_features(
+        mesh, pad_node_rows(jnp.ones((512, F), jnp.float32),
+                            pg.n_rows_padded))
+    jaxpr = jax.make_jaxpr(
+        lambda xs: propagate_sharded(mesh, pg, xs, 1, halo=halo))(x)
+    shapes = _find_all_to_all_shapes(jaxpr.jaxpr, [])
+    assert shapes, "no all_to_all in the sharded program"
+    send_rows, send_f = shapes[0]
+    assert send_f == F
+    H = send_rows // P
+    assert H == row["halo_width"], (H, row["halo_width"])
+    measured_offchip = (P - 1) * H * F * 4
+    assert measured_offchip == row["ici_bytes_per_hop_halo"]
+
+
 def test_optimized_precision_matches_reference_formula():
     """OP vs an independent sklearn-confusion-matrix oracle implementing
     the exact reference aggregation (trainv2.py:204-223): per-class
