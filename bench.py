@@ -21,11 +21,13 @@ JSON line:
   (graph/reorder.py) then the cost-model hybrid SpMM
   (ops/spmm_hybrid.py) — all host prep untimed, like the reference's
   scipy normalization.
-* uniform (``uniform_segment_s``): squared-uniform column skew, no
-  clustering — the worst case for any locality lever; runs the pure
-  XLA gather/segment path (measured wall ~34M edges/s, DESIGN.md §2b).
-  Kept for cross-round continuity (BENCH_r01 used only this) and as the
-  honest lower bound for topology-free graphs.
+* uniform: squared-uniform column skew, no clustering — the worst case
+  for any locality lever. Reported TWICE: ``uniform_auto_s`` is what the
+  framework's default pipeline (``LocalityPlan``, formulation="auto")
+  actually does there and is what ``vs_baseline_uniform`` scores;
+  ``uniform_segment_s`` keeps the round-1 pure XLA gather/segment path
+  (measured wall ~34M edges/s, DESIGN.md §2b) for cross-round continuity
+  and as the honest lower bound for topology-free graphs.
 
 The same adaptive pipeline runs on real Reddit when present: the hybrid
 split admits only cells that beat the measured XLA rate, so on any
@@ -118,7 +120,7 @@ def _train_setup(features, labels, idx_train):
     return params0, wd, cw, labels_train
 
 
-def run_uniform_segment(scale: float) -> dict:
+def run_uniform_segment(scale: float, data=None) -> dict:
     """Round-1 pipeline: uniform synthetic, XLA segment path, dead-row
     hop 2 (`SparseGraph.row_subgraph`, bitwise-identical reduction)."""
     import jax
@@ -128,7 +130,7 @@ def run_uniform_segment(scale: float) -> dict:
     from sgc_tpu.train.loops import _lbfgs_linear_fit
     from sgc_tpu.utils.profiling import sync
 
-    graph, features, labels, idx_train = synthetic_reddit(scale)
+    graph, features, labels, idx_train = data or synthetic_reddit(scale)
     features = jnp.asarray(features)
     params0, wd, cw, labels_train = _train_setup(features, labels, idx_train)
 
@@ -254,10 +256,16 @@ def measure_dispatch_floor() -> float:
     return best
 
 
-def run_clustered_hybrid(scale: float, data=None) -> dict:
+def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> dict:
     """Realistic-topology pipeline: community structure discovered by LPA
     reordering, edges split by measured cost model between the one-hot
-    MXU kernel and the XLA segment path (docs/DESIGN.md §2d)."""
+    MXU kernel and the XLA segment path (docs/DESIGN.md §2d).
+
+    Also the DEFAULT pipeline, full stop — ``name="uniform"`` runs the
+    identical ``LocalityPlan`` (formulation="auto") on the adversarial
+    uniform topology, reporting what the framework's out-of-the-box path
+    actually does there (VERDICT round-3 #4: the segment-only leg
+    under-reported the default by ~22%)."""
     import jax.numpy as jnp
 
     from sgc_tpu.graph.locality import LocalityPlan
@@ -286,7 +294,7 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
     extra = (f"cells {s.n_cells} ({s.cell_bytes / 1e9:.2f} GB bf16)"
              if hasattr(s, "cells") else f"pad {s.pad:.3f}")
     log(
-        f"clustered prep {prep_s:.1f}s ({plan.prep_seconds}); "
+        f"{name} prep {prep_s:.1f}s ({plan.prep_seconds}); "
         f"dense_frac {plan.dense_fraction:.3f} {extra}"
     )
 
@@ -314,14 +322,14 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
     # warm (and place the edge arrays on device). Over the tunneled
     # backend this is minutes: multi-GB cell transfer at ~10-50 MB/s +
     # first compile — log around it so stalls are attributable.
-    log("clustered warm: placing edge/cell data + compiling fused step "
+    log(f"{name} warm: placing edge/cell data + compiling fused step "
         "(minutes over a tunneled backend)...")
     t0 = time.perf_counter()
     sync(step(x, dev_args, params0, labels_train, wd, cw))
-    log(f"clustered warm: fused step ready ({time.perf_counter()-t0:.0f}s)")
+    log(f"{name} warm: fused step ready ({time.perf_counter()-t0:.0f}s)")
     t0 = time.perf_counter()
     sync(hops_only(x, dev_args))
-    log(f"clustered warm: hops program ready ({time.perf_counter()-t0:.0f}s)")
+    log(f"{name} warm: hops program ready ({time.perf_counter()-t0:.0f}s)")
 
     t0 = time.perf_counter()
     params = step(x, dev_args, params0, labels_train, wd, cw)
@@ -334,18 +342,20 @@ def run_clustered_hybrid(scale: float, data=None) -> dict:
     t_pre = time.perf_counter() - t0
     edges = plan.graph.nnz + plan.graph_final.nnz
     log(
-        f"clustered: hops {t_pre:.3f}s ({edges / t_pre / 1e6:.0f} M edges/s)"
+        f"{name}: hops {t_pre:.3f}s ({edges / t_pre / 1e6:.0f} M edges/s)"
         f"  total {total:.3f}s"
     )
 
     # per-term roofline (dense vs remainder vs dispatch floor) — makes
     # "fast" auditable and names the next bottleneck in the JSON itself
-    dispatch_s = measure_dispatch_floor()
-    try:
-        roofline = measure_roofline(plan, x, dispatch_s)
-    except Exception as exc:  # instrumentation must not kill the bench
-        log(f"roofline failed: {exc}")
-        roofline = {}
+    # (headline leg only: the uniform-auto leg reuses the same programs)
+    roofline = {}
+    if name == "clustered":
+        dispatch_s = measure_dispatch_floor()
+        try:
+            roofline = measure_roofline(plan, x, dispatch_s)
+        except Exception as exc:  # instrumentation must not kill the bench
+            log(f"roofline failed: {exc}")
 
     return {
         "total_s": total,
@@ -394,14 +404,24 @@ def main() -> None:
         log("using real Reddit data (adaptive pipeline)")
         real = real_reddit()
 
-    clustered = uniform = None
+    clustered = uniform = uniform_auto = None
     if real is not None:
         clustered = run_clustered_hybrid(scale, data=real)
     else:
         if topology in ("both", "clustered"):
             clustered = run_clustered_hybrid(scale)
         if topology in ("both", "uniform"):
-            uniform = run_uniform_segment(scale)
+            udata = synthetic_reddit(scale)
+            uniform = run_uniform_segment(scale, data=udata)
+            # what the framework's DEFAULT (LocalityPlan, formulation=
+            # "auto") does on the same adversarial topology — this is the
+            # number vs_baseline_uniform reports (VERDICT round-3 #4);
+            # the segment leg above stays as the round-1 continuity row
+            try:
+                uniform_auto = run_clustered_hybrid(
+                    scale, data=udata, name="uniform-auto")
+            except Exception as exc:
+                log(f"uniform auto leg failed: {exc}")
 
     head = clustered or uniform
 
@@ -495,10 +515,23 @@ def main() -> None:
             out["roofline"] = clustered["roofline"]
     if uniform is not None:
         out["uniform_segment_s"] = round(uniform["total_s"], 4)
-        out["vs_baseline_uniform"] = round(
+        out["vs_baseline_uniform_segment"] = round(
             BASELINE_SECONDS / uniform["total_s"], 3
         )
         out["uniform_edges_per_s"] = int(uniform["edges_per_s"])
+        # vs_baseline_uniform reports the DEFAULT pipeline's number on
+        # the uniform topology (falls back to the segment leg only if
+        # the auto leg failed outright)
+        best_u = uniform_auto or uniform
+        out["vs_baseline_uniform"] = round(
+            BASELINE_SECONDS / best_u["total_s"], 3
+        )
+    if uniform_auto is not None:
+        out["uniform_auto_s"] = round(uniform_auto["total_s"], 4)
+        out["uniform_auto_formulation"] = uniform_auto["formulation"]
+        out["uniform_auto_dense_frac"] = round(
+            uniform_auto["dense_frac"], 3
+        )
     print(json.dumps(out))
 
 
