@@ -507,8 +507,11 @@ def main() -> None:
         # the JSON itself, plus the environment facts prep depends on
         from sgc_tpu import native
 
+        from sgc_tpu.native import hugealloc
+
         out["prep_seconds"] = clustered["prep_stages"]
         out["native_available"] = native.available()
+        out["hugealloc_installed"] = hugealloc.installed()
         out["nproc"] = os.cpu_count()
         out["admission_rates"] = clustered["admission_rates"]
         if clustered.get("roofline"):

@@ -25,5 +25,25 @@ Layering (bottom-up):
 
 __version__ = "0.1.0"
 
-from sgc_tpu.graph.sparse import SparseGraph  # noqa: F401
+
+def _install_hugealloc() -> None:
+    """Back all large numpy allocations with MADV_HUGEPAGE mmaps.
+
+    Installed at import so every host pipeline (reorder, from_coo sorts,
+    synthetic generators, plan builds) is immune to the first-touch
+    fault wall (docs/DESIGN.md §2e) without opting in per buffer.
+    SGC_TPU_NO_HUGEALLOC=1 disables; failures (no compiler, exotic
+    platform) silently fall back to the default allocator.
+    """
+    try:
+        from sgc_tpu.native import hugealloc
+
+        hugealloc.install()
+    except Exception:
+        pass
+
+
+_install_hugealloc()
+
+from sgc_tpu.graph.sparse import SparseGraph  # noqa: F401,E402
 from sgc_tpu.ops.propagate import sgc_precompute  # noqa: F401
