@@ -98,6 +98,13 @@ def available() -> bool:
     return _try_load() is not None
 
 
+def has_cell_scatter() -> bool:
+    """True when the fused bf16 cell scatter entry point is loadable
+    (a stale pre-built .so may predate it)."""
+    lib = _try_load()
+    return lib is not None and hasattr(lib, "cell_scatter_bf16")
+
+
 def _p(a, t):
     return a.ctypes.data_as(t)
 
@@ -124,6 +131,27 @@ def sort_edges(rows, cols, vals, n_rows: int, n_cols: int):
         return rows, cols, vals
     order = np.lexsort((cols, rows))
     return rows[order], cols[order], vals[order]
+
+
+def sort_edges_inplace(rows, cols, vals, n_rows: int, n_cols: int):
+    """Sort COO edges by (row, col) IN PLACE — caller-owned private
+    int64/int64/f32 contiguous arrays (no copies; the zero-copy variant
+    of :func:`sort_edges` for hot host paths that already staged their
+    own buffers, e.g. parallel/blockdense.build_sharded_blockdense)."""
+    assert rows.dtype == np.int64 and rows.flags.c_contiguous
+    assert cols.dtype == np.int64 and cols.flags.c_contiguous
+    assert vals.dtype == np.float32 and vals.flags.c_contiguous
+    lib = _try_load()
+    if lib is not None:
+        lib.sort_edges_by_row_col(
+            _p(rows, _I64P), _p(cols, _I64P), _p(vals, _F32P),
+            len(rows), n_rows, n_cols,
+        )
+        return
+    order = np.lexsort((cols, rows))
+    rows[:] = rows[order]
+    cols[:] = cols[order]
+    vals[:] = vals[order]
 
 
 def row_ptr_from_sorted(rows, n_rows: int):

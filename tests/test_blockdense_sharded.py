@@ -292,3 +292,41 @@ def test_sharded_blockdense_pallas_visited_mask():
     # else (a mask bug would zero real contributions => O(1) mismatch)
     np.testing.assert_allclose(out_pl, out_scan, rtol=1e-5, atol=1e-5)
     assert np.abs(out_pl[:32, :16]).max() > 0.1  # dense corner is live
+
+
+def test_fast_build_matches_portable_bitwise():
+    """The direct-scatter fast plan build must be BITWISE equal to the
+    portable composition-of-parts build on every field — cells (bf16
+    payloads compared as raw uint16), ids, visited masks, remainders,
+    and scalar metadata (VERDICT round-3 #2: the fast path replaced a
+    109 s build; equality is what makes the swap safe)."""
+    from sgc_tpu.parallel.blockdense import (
+        _build_sharded_fast,
+        _build_sharded_portable,
+    )
+    from sgc_tpu import native
+
+    if not native.has_cell_scatter():
+        pytest.skip("native cell scatter unavailable")
+    a, g = _clustered_graph(n=256, communities=4, seed=3)
+    pg = partition_graph(g, 4)
+    halo = build_halo(pg)
+    args = (pg, halo, 16, 32, 32, 8.0, 4 << 30, False)
+    fast = _build_sharded_fast(*args)
+    port = _build_sharded_portable(*args)
+    for name in ("cells_int", "cells_bnd"):
+        fa = np.asarray(getattr(fast, name)).view(np.uint16)
+        pa = np.asarray(getattr(port, name)).view(np.uint16)
+        assert fa.shape == pa.shape and np.array_equal(fa, pa), name
+    for name in ("rb_int", "st_int", "vis_int", "rb_bnd", "st_bnd",
+                 "vis_bnd", "send_idx"):
+        assert np.array_equal(np.asarray(getattr(fast, name)),
+                              np.asarray(getattr(port, name))), name
+    for fa, pa in zip(fast.rest_int + fast.rest_bnd,
+                      port.rest_int + port.rest_bnd):
+        assert np.array_equal(np.asarray(fa), np.asarray(pa))
+    for name in ("row_block", "stripe", "n_parts", "rows_per_part",
+                 "halo_width", "r_up", "t_pad", "chunk_int", "chunk_bnd",
+                 "n_cells", "dense_edges", "sparse_edges"):
+        assert getattr(fast, name) == getattr(port, name), name
+    assert fast.n_cells > 0 and fast.sparse_edges > 0  # both paths live
