@@ -269,7 +269,7 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
     import jax.numpy as jnp
 
     from sgc_tpu.graph.locality import LocalityPlan
-    from sgc_tpu.train.loops import _lbfgs_linear_fit
+    from sgc_tpu.train.loops import _lbfgs_linear_fit, _newton_linear_fit
     from sgc_tpu.utils.profiling import sync
 
     if data is None:
@@ -310,11 +310,22 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
 
     khop, dev_args = plan.khop_traceable(degree=2, interpret=False)
 
+    # Head trainer: the accelerated Newton/MM fit (default) — same loss
+    # and metric as the torch-parity LBFGS (tests/test_newton.py), ~8
+    # sequential steps instead of 40 (VERDICT round-3 #3). The LBFGS
+    # oracle stays selectable (SGC_BENCH_TRAINER=lbfgs) and its loss is
+    # cross-checked untimed below (train_parity in the JSON).
+    trainer = os.environ.get("SGC_BENCH_TRAINER", "newton")
+
     @jax.jit
     def step(xx, args, p0, y, wd_, cw_):
         tr = khop(xx, args)
-        params, _ = _lbfgs_linear_fit(p0, tr, y, wd_, cw_, 2, False, False,
-                                      1.0)
+        if trainer == "newton":
+            params, _ = _newton_linear_fit(p0, tr, y, wd_, cw_, 8, False,
+                                           False)
+        else:
+            params, _ = _lbfgs_linear_fit(p0, tr, y, wd_, cw_, 2, False,
+                                          False, 1.0)
         return params
 
     hops_only = jax.jit(khop)
@@ -350,12 +361,37 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
     # "fast" auditable and names the next bottleneck in the JSON itself
     # (headline leg only: the uniform-auto leg reuses the same programs)
     roofline = {}
+    train_parity = {}
     if name == "clustered":
         dispatch_s = measure_dispatch_floor()
         try:
             roofline = measure_roofline(plan, x, dispatch_s)
         except Exception as exc:  # instrumentation must not kill the bench
             log(f"roofline failed: {exc}")
+        # newton-vs-LBFGS parity on the SAME propagated features (untimed;
+        # the swap's honesty artifact — "faster trainer" only counts if
+        # the loss and train metric it reaches are the oracle's)
+        try:
+            from sgc_tpu.models.sgc import sgc_apply
+
+            def acc_of(p):
+                pred = jnp.argmax(sgc_apply(p, tr), axis=1)
+                return float((pred == labels_train).mean())
+
+            p_n, loss_n = _newton_linear_fit(
+                params0, tr, labels_train, wd, cw, 8, False, False)
+            p_l, loss_l = _lbfgs_linear_fit(
+                params0, tr, labels_train, wd, cw, 2, False, False, 1.0)
+            train_parity = {
+                "trainer": trainer,
+                "newton_loss": round(float(loss_n), 5),
+                "lbfgs_loss": round(float(loss_l), 5),
+                "newton_train_acc": round(acc_of(p_n), 4),
+                "lbfgs_train_acc": round(acc_of(p_l), 4),
+            }
+            log(f"train parity: {train_parity}")
+        except Exception as exc:
+            log(f"train parity check failed: {exc}")
 
     return {
         "total_s": total,
@@ -368,6 +404,8 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
                         for k, v in plan.prep_seconds.items()},
         "admission_rates": rates,
         "roofline": roofline,
+        "train_parity": train_parity,
+        "trainer": trainer,
         "graph": plan.graph,
         "n_features": int(plan.features.shape[1]),
         # the RESOLVED form (auto -> blockdense_pallas|blockdense)
@@ -512,6 +550,9 @@ def main() -> None:
         out["prep_seconds"] = clustered["prep_stages"]
         out["native_available"] = native.available()
         out["hugealloc_installed"] = hugealloc.installed()
+        out["trainer"] = clustered["trainer"]
+        if clustered.get("train_parity"):
+            out["train_parity"] = clustered["train_parity"]
         out["nproc"] = os.cpu_count()
         out["admission_rates"] = clustered["admission_rates"]
         if clustered.get("roofline"):

@@ -38,6 +38,7 @@ def run(
     sharded: bool = False,
     locality: bool = False,
     formulation: str = "auto",
+    trainer: str = "newton",
 ) -> dict:
     key = set_seed(seed)
     data = load_reddit(normalization, data_path)
@@ -82,9 +83,13 @@ def run(
 
     params = init_sgc(key, feats_eval.shape[1], data.n_classes, bias=True)
     labels_train = data.labels[jnp.asarray(data.idx_train)]
+    # "newton" (default) is the accelerated Böhning/MM fit — same loss,
+    # 8 sequential steps instead of epochs*20 (tests/test_newton.py pins
+    # metric parity); "lbfgs" is the torch-parity oracle path
+    # (reference reddit.py:51-64 semantics)
     params, train_time = train_linear(
         params, feats_train, labels_train,
-        weight_decay=weight_decay, epochs=epochs, lr=lr,
+        weight_decay=weight_decay, epochs=epochs, lr=lr, trainer=trainer,
     )
 
     split = data.idx_test if test else data.idx_val
@@ -250,6 +255,10 @@ def main() -> None:
                         choices=["auto", "segment", "blockdense"],
                         help="sharded propagation kernel (auto = the "
                              "block-dense fast path)")
+    parser.add_argument("--trainer", default="newton",
+                        choices=["newton", "lbfgs"],
+                        help="linear-head fit: accelerated Newton/MM "
+                             "(default) or torch-parity LBFGS")
     args = parser.parse_args()
 
     res = run(
@@ -265,6 +274,7 @@ def main() -> None:
         seed=args.seed,
         data_path=args.data_path,
         formulation=args.formulation,
+        trainer=args.trainer,
     )
     print(
         "Total Time: {:.4f}s, {} F1: {:.4f}".format(

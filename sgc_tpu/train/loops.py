@@ -15,6 +15,7 @@ consume propagated features only. Parity targets:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from time import perf_counter
 
@@ -204,6 +205,30 @@ def _lbfgs_linear_fit(
     return params, loss
 
 
+@partial(jax.jit, static_argnames=("steps", "binary", "weighted"))
+def _newton_linear_fit(
+    params: SGCParams,
+    train_features: jnp.ndarray,
+    train_labels: jnp.ndarray,
+    weight_decay: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    steps: int,
+    binary: bool,
+    weighted: bool,
+):
+    """Accelerated Newton-class (Böhning MM) linear-head fit — the fast
+    default for the full-batch head; LBFGS (`_lbfgs_linear_fit`) stays
+    the torch-parity oracle (VERDICT round-3 #3). Same loss definition
+    (weighted mean + 0.5*wd*||W||^2), same SGCParams in/out."""
+    from sgc_tpu.train.optim import newton_linear_fit
+
+    sw = class_weights[train_labels] if weighted else None
+    w, b, loss = newton_linear_fit(
+        params.w, params.b, train_features, train_labels, weight_decay,
+        sample_weights=sw, steps=steps, binary=binary)
+    return dataclasses.replace(params, w=w, b=b), loss
+
+
 def train_linear(
     params: SGCParams,
     train_features: jnp.ndarray,
@@ -213,8 +238,16 @@ def train_linear(
     binary: bool = False,
     class_weights: jnp.ndarray | None = None,
     lr: float = 1.0,
+    trainer: str = "lbfgs",
+    newton_steps: int = 8,
 ):
-    """L-BFGS linear-head fit with manual L2 on W. Returns (params, seconds).
+    """Linear-head fit with manual L2 on W. Returns (params, seconds).
+
+    ``trainer="lbfgs"`` (default) is the torch-parity oracle path
+    (reference train.py:59-73 closure semantics); ``"newton"`` runs the
+    accelerated Böhning/MM fit (`train.optim.newton_linear_fit`) — same
+    loss, ~3-6 sequential steps instead of epochs*20, the MXU-native
+    choice for latency-critical fits.
 
     The whole optimization is one cached jitted program (keyed on shapes +
     static config), so repeated fits — hyperopt trials, cross-val folds,
@@ -225,11 +258,19 @@ def train_linear(
         n_out = params.w.shape[1]
         class_weights = jnp.ones((n_out,), jnp.float32)
     wd = jnp.asarray(weight_decay, jnp.float32)
+    if trainer not in ("lbfgs", "newton"):
+        raise ValueError(f"unknown trainer {trainer!r}")
     t = perf_counter()
-    params, _ = _lbfgs_linear_fit(
-        params, train_features, train_labels, wd, class_weights,
-        epochs, binary, weighted, lr,
-    )
+    if trainer == "newton":
+        params, _ = _newton_linear_fit(
+            params, train_features, train_labels, wd, class_weights,
+            newton_steps, binary, weighted,
+        )
+    else:
+        params, _ = _lbfgs_linear_fit(
+            params, train_features, train_labels, wd, class_weights,
+            epochs, binary, weighted, lr,
+        )
     from sgc_tpu.utils.profiling import sync
 
     sync(params)

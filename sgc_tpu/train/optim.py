@@ -219,6 +219,116 @@ def lbfgs_minimize(
     return final.x, final.loss, final.n_iter
 
 
+def newton_linear_fit(
+    w0: jnp.ndarray,                  # [F, C] (C=1 for binary)
+    b0: jnp.ndarray | None,           # [C] or None
+    features: jnp.ndarray,            # [n, F]
+    labels: jnp.ndarray,              # int[n] (binary: {0,1})
+    weight_decay: jnp.ndarray,
+    sample_weights: jnp.ndarray | None = None,   # [n] (class weighting)
+    steps: int = 8,
+    binary: bool = False,
+):
+    """Accelerated Böhning/MM Newton-class fit of a linear softmax (or
+    sigmoid) head — the MXU-native replacement for the sequential LBFGS
+    chain on full-batch logistic regression (VERDICT round-3 #3).
+
+    The reference contract is the end metric (reddit.py:66-72 micro-F1),
+    not the optimizer; torch-parity LBFGS (``lbfgs_minimize``) stays as
+    the oracle path. This trainer exploits what LBFGS cannot: the
+    multinomial-logistic Hessian admits the FIXED upper bound
+    ``H <= 1/2 I_C (x) Z'Z/n + wd I`` (Böhning 1992; 1/4 for sigmoid),
+    so ONE (F+1)^2 Cholesky yields a constant preconditioner and each
+    iteration is three large MXU matmuls: logits ``Z v``, gradient
+    ``Z'(P-Y)/n``, and the search direction's image ``Z D`` for a
+    BATCHED exact-on-a-grid line search (the bound is loose on real
+    data — measured best step ~8x the unit MM step). Nesterov momentum
+    in the preconditioned metric gives the accelerated O(1/k^2) rate:
+    measured loss-parity with 40 LBFGS iterations in 3-6 steps on the
+    bench problem (scripts/exp_newton_head.py).
+
+    Returns ``(w, b, loss)`` — ``b`` is None iff ``b0`` is None. The
+    loss includes the ``0.5 * wd * ||W||^2`` term, matching
+    ``train/loops.py`` losses (reference train.py:68 manual L2).
+    """
+    n, F = features.shape
+    C = w0.shape[1]
+    has_bias = b0 is not None
+    f32 = jnp.float32
+
+    if has_bias:
+        Z = jnp.concatenate([features, jnp.ones((n, 1), f32)], axis=1)
+        theta0 = jnp.concatenate([w0, b0[None, :]], axis=0)
+    else:
+        Z = features
+        theta0 = w0
+    d = Z.shape[1]
+
+    sw = (jnp.ones((n,), f32) if sample_weights is None
+          else sample_weights.astype(f32))
+    sw_sum = jnp.sum(sw)
+    # curvature bound: softmax 1/2, sigmoid 1/4 (Böhning)
+    curv = 0.25 if binary else 0.5
+    A = (Z.T @ (Z * sw[:, None])) / sw_sum
+    # wd penalizes W only; the bias diagonal keeps a small ridge so the
+    # factor stays SPD when wd == 0
+    ridge = 1e-6 * jnp.trace(A) / d
+    diag = jnp.full((d,), ridge) + weight_decay
+    if has_bias:
+        diag = diag.at[-1].set(ridge)
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    factor = cho_factor(curv * A + jnp.diag(diag))
+
+    if binary:
+        y = labels.astype(f32)[:, None]                     # [n, 1]
+    else:
+        y = jax.nn.one_hot(labels, C, dtype=f32)            # [n, C]
+
+    def loss_of(logits, w):
+        l2 = 0.5 * weight_decay * jnp.sum(w**2)
+        if binary:
+            ll = jax.nn.log_sigmoid(logits) * y + jax.nn.log_sigmoid(
+                -logits) * (1.0 - y)
+            return -jnp.sum(sw[:, None] * ll) / sw_sum + l2
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.sum(sw * jnp.sum(lp * y, axis=1)) / sw_sum + l2
+
+    def probs(logits):
+        return jax.nn.sigmoid(logits) if binary else jax.nn.softmax(logits)
+
+    # line-search grid: t=0 keeps the momentum point (never worse than
+    # it); large t exploits the bound's looseness on real data
+    ts = jnp.asarray([0.0, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0], f32)
+
+    def w_of(theta):
+        return theta[:-1] if has_bias else theta
+
+    def step(carry, k):
+        theta, theta_prev = carry
+        mom = (k - 1.0) / (k + 2.0)
+        v = theta + mom * (theta - theta_prev)
+        logits = Z @ v
+        G = Z.T @ ((probs(logits) - y) * sw[:, None]) / sw_sum
+        if has_bias:
+            G = jnp.concatenate(
+                [G[:-1] + weight_decay * w_of(v), G[-1:]], axis=0)
+        else:
+            G = G + weight_decay * v
+        D = cho_solve(factor, G)
+        ZD = Z @ D
+        losses = jax.vmap(
+            lambda t: loss_of(logits - t * ZD, w_of(v) - t * w_of(D)))(ts)
+        best = jnp.argmin(losses)
+        return (v - ts[best] * D, theta), losses[best]
+
+    (theta, _), losses = jax.lax.scan(
+        step, (theta0, theta0), jnp.arange(1, steps + 1, dtype=f32))
+    w = w_of(theta)
+    b = theta[-1] if has_bias else None
+    return w, b, losses[-1]
+
+
 def lbfgs_fit_pytree(
     loss_fn_pytree: Callable,
     params,
