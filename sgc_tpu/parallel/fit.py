@@ -191,7 +191,16 @@ def fit_sharded(
     from sgc_tpu.models.sgc import SGCParams
     from sgc_tpu.parallel.halo import halo_fraction
 
+    from sgc_tpu.parallel.staging import is_provider, stage_rows
+
+    staged = is_provider(features)
     if reorder is not None:
+        if staged:
+            raise ValueError(
+                "reorder= needs to permute feature rows, which a staged "
+                "row provider cannot do lazily — pre-permute the provider "
+                "(compose it with the permutation) or pass an ndarray"
+            )
         from sgc_tpu.graph.reorder import reorder_graph_arrays
 
         graph, features, labels, idx_train, _ = reorder_graph_arrays(
@@ -244,10 +253,17 @@ def fit_sharded(
         if frac is None:
             frac = halo_fraction(halo, pgraph)
 
-    x = jnp.asarray(np.asarray(features, np.float32))
-    x = pad_feature_dim(x, 8 * n_feat_parts)
-    x = pad_node_rows(x, pgraph.n_rows_padded)
-    x = shard_features(mesh, x)
+    if staged:
+        # per-shard host staging: the full [N, F] matrix never exists in
+        # one buffer — each device's shard is materialized from the
+        # provider and placed independently (parallel/staging.py; the
+        # beyond-one-device path, VERDICT r3 #6)
+        x = stage_rows(mesh, features, n_rows_padded=pgraph.n_rows_padded)
+    else:
+        x = jnp.asarray(np.asarray(features, np.float32))
+        x = pad_feature_dim(x, 8 * n_feat_parts)
+        x = pad_node_rows(x, pgraph.n_rows_padded)
+        x = shard_features(mesh, x)
 
     blockdense = None
     dense_fraction = 0.0
@@ -286,7 +302,7 @@ def fit_sharded(
 
         fp = hashlib.sha256(repr((
             "fit_sharded_v1", graph.nnz, graph.n_rows,
-            int(np.asarray(features).shape[1]), n_classes, degree, lr,
+            int(features.shape[1]), n_classes, degree, lr,
             weight_decay, seed, formulation, n_parts, n_feat_parts,
             reorder, row_block, stripe,
         )).encode()).hexdigest()[:16]

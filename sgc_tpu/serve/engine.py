@@ -66,14 +66,28 @@ class Stats:
     rows: int = 0
     total_s: float = 0.0
 
+    def __post_init__(self):
+        # bounded per-request latency window (p50/p99 over the last 10k
+        # requests; a long-lived server must not grow without bound)
+        from collections import deque
+
+        self._lat = deque(maxlen=10_000)
+
     def observe(self, n_rows: int, dt: float) -> None:
         self.requests += 1
         self.rows += n_rows
         self.total_s += dt
+        self._lat.append(dt)
 
     @property
     def mean_latency_ms(self) -> float:
         return 1e3 * self.total_s / max(self.requests, 1)
+
+    def percentile_ms(self, q: float) -> float:
+        """Latency percentile (q in [0,100]) over the recent window."""
+        if not self._lat:
+            return 0.0
+        return 1e3 * float(np.percentile(np.asarray(self._lat), q))
 
 
 class InferenceEngine:

@@ -42,6 +42,8 @@ def make_handler(engine: InferenceEngine):
                     "mode": engine._mode,
                     "requests": engine.stats.requests,
                     "mean_latency_ms": round(engine.stats.mean_latency_ms, 3),
+                    "p50_ms": round(engine.stats.percentile_ms(50), 3),
+                    "p99_ms": round(engine.stats.percentile_ms(99), 3),
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})

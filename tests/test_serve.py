@@ -262,3 +262,35 @@ def test_engine_shard_store_matches_unsharded():
                             quantize_int8=True))
     np.testing.assert_array_equal(np.asarray(q.predict(ids)),
                                   np.asarray(qb.predict(ids)))
+
+
+class TestBench:
+    def test_stats_percentiles_window(self):
+        from sgc_tpu.serve.engine import Stats
+
+        s = Stats()
+        assert s.percentile_ms(50) == 0.0
+        for ms in [1, 2, 3, 4, 100]:
+            s.observe(1, ms / 1e3)
+        assert s.percentile_ms(50) == pytest.approx(3.0)
+        assert s.percentile_ms(99) == pytest.approx(100.0, rel=0.05)
+        # bounded window: old outlier falls out after 10k more
+        for _ in range(10_000):
+            s.observe(1, 0.001)
+        assert s.percentile_ms(99) == pytest.approx(1.0)
+
+    def test_bench_variant_sweep(self, trained):
+        """_bench_variant returns one row per batch with sane fields."""
+        from sgc_tpu.cli.serve import _bench_variant
+
+        params, feats, _ = trained
+        eng = InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=32, warmup=False),
+        )
+        rows = _bench_variant("f32", eng, [4, 32], reps=3)
+        assert [r["batch"] for r in rows] == [4, 32]
+        for r in rows:
+            assert r["requests"] == 3
+            assert r["rows_per_s"] > 0
+            assert r["p99_ms"] >= r["p50_ms"] > 0

@@ -1,0 +1,149 @@
+"""Per-shard host staging (parallel/staging.py): sharded arrays built
+shard-by-shard from row providers, and the beyond-one-device fit path.
+
+The reference's capacity ceiling is one GPU's memory (utils.py:104-131
+loads the full feature matrix before training); the staged path removes
+the single-buffer requirement entirely. Parity oracle: the monolithic
+``shard_features`` placement of the same values.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from sgc_tpu.graph.normalize import aug_normalized_adjacency
+from sgc_tpu.graph.sparse import SparseGraph
+from sgc_tpu.parallel.mesh import NODES_AXIS, make_mesh
+from sgc_tpu.parallel.staging import (
+    is_provider,
+    mmap_rows,
+    sharding_report,
+    stage_rows,
+    synthetic_features,
+)
+
+
+class _ArrayProvider:
+    """Row provider backed by an in-memory array (test double); records
+    every requested range so staging granularity is checkable."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+        self.shape = self._arr.shape
+        self.dtype = self._arr.dtype
+        self.calls = []
+
+    def __call__(self, start, stop):
+        self.calls.append((start, stop))
+        return self._arr[start:stop]
+
+
+def test_synthetic_features_deterministic_and_range_independent():
+    p = synthetic_features(1000, 32, seed=7)
+    full = p(0, 1000)
+    assert full.shape == (1000, 32)
+    assert full.dtype == np.float32
+    # any sub-range reproduces the same values (order-/chunk-independent)
+    np.testing.assert_array_equal(p(250, 500), full[250:500])
+    np.testing.assert_array_equal(p(999, 1000), full[999:1000])
+    # different seeds decorrelate; values span [-0.5, 0.5)
+    other = synthetic_features(1000, 32, seed=8)(0, 1000)
+    assert np.abs(np.corrcoef(full.ravel(), other.ravel())[0, 1]) < 0.01
+    assert full.min() >= -0.5 and full.max() < 0.5
+    assert abs(full.mean()) < 0.01
+
+
+def test_stage_rows_matches_monolithic_placement():
+    from sgc_tpu.parallel.spmm import shard_features
+
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((101, 13)).astype(np.float32)  # ragged dims
+    prov = _ArrayProvider(arr)
+    x = stage_rows(mesh, prov, n_rows_padded=104)
+
+    full = np.zeros((104, 16), np.float32)  # cols pad to 8*feat_parts=16
+    full[:101, :13] = arr
+    ref = shard_features(mesh, jnp.asarray(full))
+    assert x.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(ref))
+    assert x.sharding == ref.sharding
+
+    # staging granularity: no call ever asked for more than one node-axis
+    # shard of rows (the full matrix was never materialized at once)
+    rows_per_shard = 104 // mesh.shape[NODES_AXIS]
+    assert prov.calls, "provider was never consulted"
+    assert max(b - a for a, b in prov.calls) <= rows_per_shard
+
+
+def test_mmap_rows_provider(tmp_path):
+    arr = np.arange(60, dtype=np.float32).reshape(12, 5)
+    path = tmp_path / "feats.npy"
+    np.save(path, arr)
+    p = mmap_rows(path)
+    assert is_provider(p)
+    assert p.shape == (12, 5)
+    np.testing.assert_array_equal(p(3, 9), arr[3:9])
+
+
+def test_is_provider_rejects_arrays():
+    assert not is_provider(np.zeros((4, 4)))
+    assert not is_provider(jnp.zeros((4, 4)))
+    assert not is_provider(lambda a, b: None)  # no shape
+    assert is_provider(synthetic_features(8, 8))
+
+
+def test_sharding_report_accounts_bytes():
+    mesh = make_mesh(8, 1)
+    x = stage_rows(mesh, synthetic_features(64, 16))
+    rep = sharding_report(x)
+    assert rep["global_shape"] == (64, 16)
+    assert rep["n_shards"] == 8
+    shards = x.addressable_shards
+    assert sum(s.data.nbytes for s in shards) == 64 * 16 * 4
+    assert not rep["exceeds_v5e_hbm"]
+
+
+def _task(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    c = 4
+    blocks = np.repeat(np.arange(c), n // c)
+    r, co = np.triu_indices(n, 1)
+    keep = rng.random(len(r)) < np.where(blocks[r] == blocks[co], 0.3, 0.01)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (r[keep], co[keep])), shape=(n, n)
+    )
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    x[np.arange(n), blocks] += 1.5
+    idx_train = np.sort(rng.choice(n, n // 2, replace=False))
+    return graph, x, blocks.astype(np.int32), idx_train, c
+
+
+def test_fit_sharded_staged_matches_monolithic_exactly():
+    """fit_sharded(provider) == fit_sharded(ndarray): training is
+    deterministic full-batch, so staging must be bit-invisible."""
+    from sgc_tpu.parallel.fit import fit_sharded
+
+    graph, x, y, idx_train, c = _task()
+    mesh = make_mesh(4, 2)
+    kw = dict(mesh=mesh, degree=2, epochs=30, lr=0.2, weight_decay=0.0)
+    p_mono, r_mono = fit_sharded(graph, x, y, idx_train, c, **kw)
+    p_stag, r_stag = fit_sharded(
+        graph, _ArrayProvider(x), y, idx_train, c, **kw)
+    np.testing.assert_array_equal(np.asarray(p_mono.w), np.asarray(p_stag.w))
+    np.testing.assert_array_equal(np.asarray(p_mono.b), np.asarray(p_stag.b))
+    assert r_mono.train_accuracy == r_stag.train_accuracy
+
+
+def test_fit_sharded_staged_rejects_reorder():
+    import pytest
+
+    from sgc_tpu.parallel.fit import fit_sharded
+
+    graph, x, y, idx_train, c = _task()
+    with pytest.raises(ValueError, match="provider"):
+        fit_sharded(graph, _ArrayProvider(x), y, idx_train, c,
+                    mesh=make_mesh(4, 1), reorder="lpa")
