@@ -37,6 +37,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def rss_gib():
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
+def start_rss_tracer(t_start):
+    """Log current VmRSS whenever it climbs >0.5 GiB above the last
+    report — attributes the peak to a timeline stage via stderr."""
+    import threading
+
+    def cur():
+        with open("/proc/self/statm") as fh:
+            return int(fh.read().split()[1]) * 4096 / 2**30
+
+    def run():
+        last = 0.0
+        while True:
+            c = cur()
+            if c > last + 0.5:
+                log(f"[rss +{time.perf_counter()-t_start:.0f}s] "
+                    f"{c:.1f} GiB")
+                last = c
+            time.sleep(0.25)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 class class_signal_features:
     """Synthetic provider + planted class signal: node i's class is its
     contiguous id block; columns [class*8, class*8+8) get a +0.75 boost
@@ -124,17 +152,24 @@ def main(scale=1.0, epochs=5):
     t0 = time.perf_counter()
     graph = build_graph(n, AVG_DEGREE, 8)
     t_graph = time.perf_counter() - t0
-    log(f"graph built: {graph.nnz} edges ({t_graph:.0f}s)")
+    log(f"graph built: {graph.nnz} edges ({t_graph:.0f}s), "
+        f"peak rss {rss_gib():.1f} GiB")
 
     t0 = time.perf_counter()
+    if os.environ.get("SGC_BEYOND_TRACE_RSS"):
+        start_rss_tracer(t0)
     params, report = fit_sharded(
         graph, prov, labels, idx_train, N_CLASSES,
         mesh=mesh, degree=2, epochs=epochs, lr=0.2, weight_decay=0.0,
-        formulation="segment", use_halo=True,
+        formulation="segment", use_halo=True, edge_chunk=65_536,
     )
     t_fit = time.perf_counter() - t0
 
+    import resource
+
+    peak_rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
     out = {
+        "peak_host_rss_gib": round(peak_rss_gib, 1),
         "n_nodes": n,
         "n_features": f,
         "n_edges": int(graph.nnz),

@@ -151,6 +151,7 @@ def fit_sharded(
     stripe: int = 512,
     checkpoint_dir: str | None = None,
     save_every: int = 25,
+    edge_chunk: int | None = None,
 ):
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
 
@@ -275,9 +276,14 @@ def fit_sharded(
             row_block=row_block, stripe=stripe)
         dense_fraction = blockdense.dense_fraction
 
-    # one-time sharded propagation (halo-exchanged SpMM hops)
+    # one-time sharded propagation (halo-exchanged SpMM hops).
+    # sync_each_hop: async hop dispatch doubles peak memory (both hops'
+    # transients live at once) for no wall-clock win — the hops are
+    # data-dependent. edge_chunk additionally bounds the per-hop
+    # [E, F] contribution buffer for beyond-one-device graphs.
     x = propagate_sharded(mesh, pgraph, x, degree, halo=halo,
-                          blockdense=blockdense)
+                          blockdense=blockdense, edge_chunk=edge_chunk,
+                          sync_each_hop=True)
 
     from sgc_tpu.parallel.train import place_node_targets
 
@@ -304,7 +310,7 @@ def fit_sharded(
             "fit_sharded_v1", graph.nnz, graph.n_rows,
             int(features.shape[1]), n_classes, degree, lr,
             weight_decay, seed, formulation, n_parts, n_feat_parts,
-            reorder, row_block, stripe,
+            reorder, row_block, stripe, edge_chunk,
         )).encode()).hexdigest()[:16]
         ckpt = _FitCheckpointer(checkpoint_dir, fp)
         restored = ckpt.restore(state)

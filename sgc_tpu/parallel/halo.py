@@ -288,12 +288,45 @@ def halo_fraction(halo: HaloDescriptor, pgraph: PartitionedGraph) -> float:
     return halo.n_parts * halo.halo_width / pgraph.n_rows_padded
 
 
+def _chunked_segment_spmm(rows, cols, vals, x, num_segments, chunk):
+    """Edge-chunked gather->scale->segment-sum: ``lax.scan`` over fixed
+    edge chunks caps the materialized contribution buffer at
+    ``chunk x F`` bytes instead of ``E x F`` — the memory-bounded form
+    of the segment SpMM for hops whose per-edge working set would not
+    fit (beyond-one-device graphs). Fixed chunk order keeps the
+    reduction deterministic; result differs from the unchunked form only
+    by f32 summation-order rounding.
+    """
+    e = rows.shape[0]
+    n_chunks = -(-e // chunk)
+    pad = n_chunks * chunk - e
+    if pad:
+        # padding edges: val 0 into row 0 — contribute exactly nothing
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+    ch = (rows.reshape(n_chunks, chunk), cols.reshape(n_chunks, chunk),
+          vals.reshape(n_chunks, chunk))
+
+    def body(acc, c):
+        r, co, v = c
+        return acc + jax.ops.segment_sum(
+            jnp.take(x, co, axis=0) * v[:, None], r,
+            num_segments=num_segments, indices_are_sorted=False,
+        ), None
+
+    acc0 = jnp.zeros((num_segments, x.shape[1]), x.dtype)
+    out, _ = jax.lax.scan(body, acc0, ch)
+    return out
+
+
 def exchange_and_spmm_overlapped(
     edges_int: tuple,             # (rows[Ei], cols[Ei] -> x_local, vals[Ei])
     edges_bnd: tuple,             # (rows[Eb], cols[Eb] -> halo buf, vals[Eb])
     send_idx: jnp.ndarray,        # [P, H] rows this chip sends to each peer
     x_local: jnp.ndarray,         # [R, F] local feature rows
     rows_per_part: int,
+    edge_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Halo-exchanged SpMM hop with comm/compute overlap.
 
@@ -302,6 +335,12 @@ def exchange_and_spmm_overlapped(
     scheduling starts the ICI exchange, runs the interior SpMM, and only
     the boundary term awaits the halo buffer. Same result as
     :func:`exchange_and_spmm` up to f32 summation-order rounding.
+
+    ``edge_chunk`` routes the interior term through the edge-chunked
+    scan (:func:`_chunked_segment_spmm`), bounding transient memory at
+    ``edge_chunk x F`` — required when ``E x F`` itself exceeds the
+    device budget (the beyond-one-device regime). Default (None) keeps
+    the single fused segment-sum, which XLA overlaps best.
     """
     ri, ci, vi = edges_int
     rb, cb, vb = edges_bnd
@@ -309,10 +348,14 @@ def exchange_and_spmm_overlapped(
     halo = jax.lax.all_to_all(
         send, NODES_AXIS, split_axis=0, concat_axis=0, tiled=True
     )                                                        # (P*H, F)
-    acc = jax.ops.segment_sum(
-        jnp.take(x_local, ci, axis=0) * vi[:, None],
-        ri, num_segments=rows_per_part, indices_are_sorted=False,
-    )
+    if edge_chunk:
+        acc = _chunked_segment_spmm(
+            ri, ci, vi, x_local, rows_per_part, edge_chunk)
+    else:
+        acc = jax.ops.segment_sum(
+            jnp.take(x_local, ci, axis=0) * vi[:, None],
+            ri, num_segments=rows_per_part, indices_are_sorted=False,
+        )
     bnd = jax.ops.segment_sum(
         jnp.take(halo, cb, axis=0) * vb[:, None],
         rb, num_segments=rows_per_part, indices_are_sorted=False,

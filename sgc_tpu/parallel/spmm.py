@@ -41,7 +41,7 @@ def _local_spmm(rows_local, cols, vals, x_full, rows_per_part):
 def spmm_sharded(
     mesh, pgraph: PartitionedGraph, x: jnp.ndarray, halo=None,
     blockdense=None, precision: str = "bf16", form: str = "scan",
-    interpret: bool = False,
+    interpret: bool = False, edge_chunk: int | None = None,
 ) -> jnp.ndarray:
     """One sharded SpMM hop: returns S @ x with the same sharding as x.
 
@@ -102,6 +102,7 @@ def spmm_sharded(
             return exchange_and_spmm_overlapped(
                 tuple(a[0] for a in e_int), tuple(a[0] for a in e_bnd),
                 send_idx[0], x_local, pgraph.rows_per_part,
+                edge_chunk=edge_chunk,
             )
 
         e3 = (edge_spec, edge_spec, edge_spec)
@@ -111,6 +112,10 @@ def spmm_sharded(
             in_specs=(e3, e3, P(NODES_AXIS, None, None),
                       P(NODES_AXIS, FEAT_AXIS)),
             out_specs=P(NODES_AXIS, FEAT_AXIS),
+            # the edge-chunked scan's zero-initialized carry is unvarying
+            # while the body output varies over the mesh — same
+            # relaxation as the blockdense path above
+            check_vma=not edge_chunk,
         )
         return fn(halo.edges_int, halo.edges_bnd, halo.send_idx, x)
 
@@ -156,17 +161,29 @@ def spmm_sharded(
 def propagate_sharded(
     mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None,
     blockdense=None, precision: str = "bf16", form: str = "scan",
-    interpret: bool = False,
+    interpret: bool = False, edge_chunk: int | None = None,
+    sync_each_hop: bool = False,
 ) -> jnp.ndarray:
     """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static.
 
     ``form="pallas"`` runs the per-chip dense-cell term through the
     streamed Pallas kernel (the single-chip headline kernel); ``"scan"``
-    (default) is the portable einsum form — identical math."""
+    (default) is the portable einsum form — identical math.
+
+    ``sync_each_hop`` (eager callers only; a no-op under tracing) blocks
+    on each hop before dispatching the next: async dispatch keeps BOTH
+    hops' transients live at once, which roughly doubles peak memory —
+    measured 9.5 vs 4.8 GiB on the 600k x 512 beyond-device probe. The
+    hops are sequential anyway, so the sync costs one dispatch latency
+    per hop. ``edge_chunk`` bounds per-hop transients (see
+    ``halo._chunked_segment_spmm``)."""
     for _ in range(degree):
         x = spmm_sharded(mesh, pgraph, x, halo=halo,
                          blockdense=blockdense, precision=precision,
-                         form=form, interpret=interpret)
+                         form=form, interpret=interpret,
+                         edge_chunk=edge_chunk)
+        if sync_each_hop and not isinstance(x, jax.core.Tracer):
+            jax.block_until_ready(x)
     return x
 
 

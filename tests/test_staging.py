@@ -147,3 +147,24 @@ def test_fit_sharded_staged_rejects_reorder():
     with pytest.raises(ValueError, match="provider"):
         fit_sharded(graph, _ArrayProvider(x), y, idx_train, c,
                     mesh=make_mesh(4, 1), reorder="lpa")
+
+
+def test_edge_chunked_halo_hop_matches_unchunked():
+    """edge_chunk bounds transient memory without changing the hop's
+    math (f32 summation-order rounding only)."""
+    from sgc_tpu.parallel.halo import build_halo
+    from sgc_tpu.parallel.partition import partition_graph
+    from sgc_tpu.parallel.spmm import propagate_sharded, shard_features
+
+    graph, x, _, _, _ = _task(n=256, seed=3)
+    mesh = make_mesh(8, 1)
+    pg = partition_graph(graph, 8)
+    halo = build_halo(pg, overlap=True)
+    xs = shard_features(mesh, jnp.asarray(
+        np.pad(x, ((0, pg.n_rows_padded - x.shape[0]), (0, 0)))))
+    ref = propagate_sharded(mesh, pg, xs, 2, halo=halo)
+    # chunk smaller than the edge count so the scan really iterates
+    chk = propagate_sharded(mesh, pg, xs, 2, halo=halo, edge_chunk=64,
+                            sync_each_hop=True)
+    np.testing.assert_allclose(
+        np.asarray(chk), np.asarray(ref), rtol=1e-5, atol=1e-5)
