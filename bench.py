@@ -489,15 +489,25 @@ def main() -> None:
             from sgc_tpu.parallel.partition import partition_graph
 
             pg = partition_graph(head["graph"], 8)
+            t1 = time.perf_counter()
+            halo = build_halo(pg)
+            t2 = time.perf_counter()
             bd = build_sharded_blockdense(
-                pg, build_halo(pg), head["n_features"], device=False)
+                pg, halo, head["n_features"], device=False)
+            t3 = time.perf_counter()
             model["sharded_blockdense_plan"] = {
                 "n_parts": 8,
                 "dense_fraction": round(bd.dense_fraction, 3),
                 "n_cells": bd.n_cells,
                 "cells_interior_width": int(bd.cells_int.shape[1]),
                 "cells_boundary_width": int(bd.cells_bnd.shape[1]),
-                "build_s": round(time.perf_counter() - t0, 1),
+                "build_s": round(t3 - t0, 1),
+                # sub-stages: partition / halo plan / cell scatter —
+                # which one degrades under process-memory pressure is
+                # the reproducibility question (DESIGN §2e)
+                "partition_s": round(t1 - t0, 1),
+                "halo_s": round(t2 - t1, 1),
+                "cells_s": round(t3 - t2, 1),
             }
         except Exception as exc:
             log(f"sharded plan stats failed: {exc}")

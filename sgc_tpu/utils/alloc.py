@@ -64,6 +64,34 @@ def _mmap_hugepage(nbytes: int):
     return m
 
 
+def _prefault_parallel(m, nbytes: int) -> None:
+    """Touch one byte per 4 KiB page, split across threads.
+
+    Lazily-faulting a multi-GB buffer from the CONSUMER (e.g. the native
+    cell scatter) serializes the fault cost into whatever loop touches
+    it first; in the degraded high-RSS state (27 us/page, DESIGN §2e)
+    that is ~20 s for 2.7 GB even with MADV_HUGEPAGE advised, because a
+    fragmented kernel falls back to 4 KiB pages. Faulting up front in
+    parallel bounds that worst case at (pages x 27 us / threads) and
+    costs only a strided pass (~0.1 s) when THP is healthy.
+    """
+    import concurrent.futures as cf
+
+    buf = np.frombuffer(m, dtype=np.uint8)
+    n_workers = min(os.cpu_count() or 1, 8)
+    chunk = max(nbytes // n_workers, 1 << 20)
+
+    def touch(lo):
+        buf[lo:min(lo + chunk, nbytes):4096] = 0
+
+    starts = range(0, nbytes, chunk)
+    if len(starts) <= 1:
+        touch(0)
+        return
+    with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
+        list(ex.map(touch, starts))
+
+
 def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
     """Zero-initialized 1-D array backed by MADV_HUGEPAGE'd anonymous
     mmap, reusing pooled buffers when available; falls back to
@@ -94,6 +122,7 @@ def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
     try:
         m = _mmap_hugepage(nbytes)
         arr = np.frombuffer(m, dtype=dtype, count=n_elems)
+        _prefault_parallel(m, nbytes)
     except (OSError, ValueError):
         return np.zeros(n_elems, dtype)
 

@@ -54,3 +54,15 @@ def test_zeros_hugepage_pool_reuses_freed_buffers():
     assert id(d.base) != id(view.base.base if view.base.base is not None
                             else view.base)
     assert view[0, 0] == 0  # still valid memory
+
+
+def test_prefault_leaves_buffer_zero():
+    """Parallel pre-fault touches every page but the buffer must still
+    read as zeros (it writes zero bytes) across all chunk boundaries."""
+    import sgc_tpu.utils.alloc as alloc
+
+    a = alloc.zeros_hugepage(96 << 20, np.uint8)  # 96 MB, > pool floor
+    assert a[::4096].max() == 0                   # the touched bytes
+    assert a[:4096].max() == 0 and a[-4096:].max() == 0
+    stride = a.nbytes // 17
+    assert all(int(a[i]) == 0 for i in range(0, a.nbytes, stride))

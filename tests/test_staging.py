@@ -168,3 +168,30 @@ def test_edge_chunked_halo_hop_matches_unchunked():
                             sync_each_hop=True)
     np.testing.assert_allclose(
         np.asarray(chk), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("SGC_TPU_RUN_SLOW") != "1",
+    reason="slow demo smoke (set SGC_TPU_RUN_SLOW=1); full-scale "
+    "beyond-device run is scripts/exp_beyond_device.py",
+)
+def test_beyond_device_demo_smoke():
+    """exp_beyond_device end-to-end at 2% scale: staged fit learns the
+    planted signal (>3x chance for 16 classes) and reports the size
+    evidence fields the RESULTS table is built from."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from exp_beyond_device import main
+
+    out = main(scale=0.02, epochs=5)
+    assert out["n_devices"] == 8
+    assert out["train_accuracy"] > 3 / 16
+    for k in ("feature_gib", "per_device_gib", "exceeds_v5e_hbm",
+              "peak_host_rss_gib"):
+        assert k in out
