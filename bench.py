@@ -483,6 +483,9 @@ def main() -> None:
         # fast path would run as cells, and how much of that is interior
         # (overlappable with the exchange)
         try:
+            from sgc_tpu.utils.alloc import ensure_fault_rate
+
+            fault_probe = ensure_fault_rate()
             t0 = time.perf_counter()
             from sgc_tpu.parallel.blockdense import build_sharded_blockdense
             from sgc_tpu.parallel.halo import build_halo
@@ -508,6 +511,7 @@ def main() -> None:
                 "partition_s": round(t1 - t0, 1),
                 "halo_s": round(t2 - t1, 1),
                 "cells_s": round(t3 - t2, 1),
+                "fault_probe": fault_probe,
             }
         except Exception as exc:
             log(f"sharded plan stats failed: {exc}")

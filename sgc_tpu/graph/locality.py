@@ -126,6 +126,14 @@ class LocalityPlan:
         # placement would round-trip the edge arrays over the tunneled
         # backend — ~10x slower build)
         t = {}
+        # fault-wall guard (DESIGN §2e): on a fragmented machine,
+        # first-touch faults run 27x slow for EVERY fresh allocation
+        # below — probe, and trigger kernel compaction if degraded
+        from sgc_tpu.utils.alloc import ensure_fault_rate
+
+        probe = ensure_fault_rate()
+        t["fault_mrate_before"] = probe["rate_before"]
+        t["fault_mrate_after"] = probe["rate_after"]
         t0 = time.perf_counter()
         graph_p, features_p, labels_p, idx_p, order = reorder_graph_arrays(
             graph, ordering, features, labels, idx_train)

@@ -241,7 +241,12 @@ def _build_sharded_fast(
     """Direct-scatter plan build (see :func:`build_sharded_blockdense`)."""
     from sgc_tpu import native
     from sgc_tpu.ops.spmm_blockdense import min_edges_for
-    from sgc_tpu.utils.alloc import zeros_hugepage
+    from sgc_tpu.utils.alloc import ensure_fault_rate, zeros_hugepage
+
+    # fault-wall guard (DESIGN §2e): the cell buffers + per-part edge
+    # copies below are GBs of fresh allocations; on a fragmented machine
+    # they fault at 27 us/page unless compaction runs first
+    ensure_fault_rate()
 
     P = pgraph.n_parts
     R = pgraph.rows_per_part

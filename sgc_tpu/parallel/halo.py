@@ -93,6 +93,14 @@ def build_halo(pgraph: PartitionedGraph,
     a 10M-edge graph at P=256 builds in seconds (see
     tests/test_halo.py::test_build_halo_scales).
     """
+    from sgc_tpu.utils.alloc import ensure_fault_rate
+
+    # fault-wall guard (DESIGN §2e): the flat masks/keys/argsort below
+    # allocate ~10x the edge bytes; compaction first if the machine is
+    # in its fragmented 27 us/page state (probe is ~20 ms when healthy,
+    # and rate-limited to once a minute)
+    ensure_fault_rate()
+
     P = pgraph.n_parts
     R = pgraph.rows_per_part
     cols = np.asarray(pgraph.cols)          # [P, E_max] global columns

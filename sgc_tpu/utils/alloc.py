@@ -64,6 +64,60 @@ def _mmap_hugepage(nbytes: int):
     return m
 
 
+_COMPACT_TS = 0.0
+
+
+def fault_rate_probe(nbytes: int = 64 << 20) -> float:
+    """Measured first-touch fault throughput (M faults/s) on a fresh
+    anonymous region — the health probe for DESIGN §2e's fault wall.
+    Healthy: ~1 M/s (1 us/page). Degraded (fragmented kernel): ~0.04 M/s
+    (27 us/page) — a fresh 2.7 GB buffer then costs ~20 s to touch."""
+    import time
+
+    a = np.empty(nbytes, np.uint8)
+    t0 = time.perf_counter()
+    a[::4096] = 1
+    return nbytes / 4096 / (time.perf_counter() - t0) / 1e6
+
+
+def ensure_fault_rate(min_mfaults: float = 0.8,
+                      min_interval_s: float = 60.0) -> dict:
+    """Probe the fault rate; if degraded, trigger kernel memory
+    compaction (``/proc/sys/vm/compact_memory`` — root-only, best-effort)
+    and re-probe.
+
+    Measured on the build VM: the degraded state is MACHINE-wide (any
+    process that churned tens of GB fragments physical memory for
+    everyone; a fresh process probes 0.03 M faults/s), and one
+    compaction write (~0.1-0.2 s) restores ~1.3 M/s durably — the
+    27 us/page wall is gone even after another 12 GB of churn. This is
+    the missing systemic half of the hugepage story: MADV_HUGEPAGE only
+    helps when the kernel can actually assemble 2 MiB pages.
+
+    Returns {"rate_before", "rate_after", "compacted"} for logging.
+    SGC_TPU_NO_COMPACT=1 disables the write (probe only).
+    """
+    import time
+    global _COMPACT_TS
+
+    rate = fault_rate_probe()
+    out = {"rate_before": round(rate, 3), "rate_after": round(rate, 3),
+           "compacted": False}
+    if rate >= min_mfaults or os.environ.get("SGC_TPU_NO_COMPACT") == "1":
+        return out
+    if time.monotonic() - _COMPACT_TS < min_interval_s:
+        return out
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        return out
+    _COMPACT_TS = time.monotonic()
+    out["compacted"] = True
+    out["rate_after"] = round(fault_rate_probe(), 3)
+    return out
+
+
 def _prefault_parallel(m, nbytes: int) -> None:
     """Touch one byte per 4 KiB page, split across threads.
 

@@ -66,3 +66,20 @@ def test_prefault_leaves_buffer_zero():
     assert a[:4096].max() == 0 and a[-4096:].max() == 0
     stride = a.nbytes // 17
     assert all(int(a[i]) == 0 for i in range(0, a.nbytes, stride))
+
+
+def test_fault_rate_probe_and_ensure():
+    import sgc_tpu.utils.alloc as alloc
+
+    r = alloc.fault_rate_probe(16 << 20)
+    assert r > 0
+    # probe-only path must never write to /proc (env gate)
+    import os
+
+    os.environ["SGC_TPU_NO_COMPACT"] = "1"
+    try:
+        out = alloc.ensure_fault_rate(min_mfaults=1e9)  # force "degraded"
+        assert out["compacted"] is False
+        assert out["rate_before"] == out["rate_after"] > 0
+    finally:
+        del os.environ["SGC_TPU_NO_COMPACT"]

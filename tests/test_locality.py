@@ -62,8 +62,10 @@ def test_plan_discovers_density_from_shuffled_ids():
     assert plan.dense_fraction > 0.5
     # the final-hop operator computes exactly the train rows
     assert plan.graph_final.n_rows == len(idx_train)
-    assert set(plan.prep_seconds) == {
+    assert set(plan.prep_seconds) >= {
         "order_s", "apply_s", "subgraph_s", "split_s"}
+    # round 4: the fault-wall probe rates ride along (DESIGN §2e)
+    assert "fault_mrate_before" in plan.prep_seconds
 
 
 def test_khop_traceable_matches_propagate_under_outer_jit():
