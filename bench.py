@@ -286,10 +286,20 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
 
     rates = measured_rates()
     log(f"admission rates: {rates}")
+    import contextlib
+
+    from sgc_tpu.utils.profiling import stack_sampler
+
+    sampler = (stack_sampler()
+               if os.environ.get("SGC_BENCH_PROFILE_PLAN")
+               else contextlib.nullcontext())
     t0 = time.perf_counter()
-    plan = LocalityPlan.build(graph, features, labels, idx_train,
-                              formulation=formulation, calibrate=True)
+    with sampler:
+        plan = LocalityPlan.build(graph, features, labels, idx_train,
+                                  formulation=formulation, calibrate=True)
     prep_s = time.perf_counter() - t0
+    if hasattr(sampler, "report"):
+        log(f"prep profile ({name}): {sampler.report()}")
     s = plan.split_main
     extra = (f"cells {s.n_cells} ({s.cell_bytes / 1e9:.2f} GB bf16)"
              if hasattr(s, "cells") else f"pad {s.pad:.3f}")
@@ -486,18 +496,32 @@ def main() -> None:
             from sgc_tpu.utils.alloc import ensure_fault_rate
 
             fault_probe = ensure_fault_rate()
+            import contextlib
+
+            from sgc_tpu.utils.profiling import stack_sampler
+
+            sampler = (stack_sampler()
+                       if os.environ.get("SGC_BENCH_PROFILE_PLAN")
+                       else contextlib.nullcontext())
             t0 = time.perf_counter()
             from sgc_tpu.parallel.blockdense import build_sharded_blockdense
             from sgc_tpu.parallel.halo import build_halo
             from sgc_tpu.parallel.partition import partition_graph
 
-            pg = partition_graph(head["graph"], 8)
-            t1 = time.perf_counter()
-            halo = build_halo(pg)
-            t2 = time.perf_counter()
-            bd = build_sharded_blockdense(
-                pg, halo, head["n_features"], device=False)
-            t3 = time.perf_counter()
+            with sampler:
+                # device=False END TO END: this is the host-side plan
+                # artifact — eager jnp placement turned every later
+                # np.asarray into a tunnel round-trip (profiled at 35%
+                # of this region's wall as jax array._value fetches)
+                pg = partition_graph(head["graph"], 8, device=False)
+                t1 = time.perf_counter()
+                halo = build_halo(pg, device=False)
+                t2 = time.perf_counter()
+                bd = build_sharded_blockdense(
+                    pg, halo, head["n_features"], device=False)
+                t3 = time.perf_counter()
+            if hasattr(sampler, "report"):
+                log(f"plan profile: {sampler.report()}")
             model["sharded_blockdense_plan"] = {
                 "n_parts": 8,
                 "dense_fraction": round(bd.dense_fraction, 3),

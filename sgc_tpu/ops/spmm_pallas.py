@@ -44,6 +44,7 @@ requires direct (non-tunneled) TPU access.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -557,6 +558,25 @@ def scalar_prefetch_compiles() -> bool:
     if _default_interpret():
         return False
     if _SCALAR_PREFETCH_COMPILES is None:
+        # disk cache keyed like ops.calibrate's rates: over a tunneled
+        # backend the FIRST remote compile in a process costs ~30 s
+        # (compile-helper warmup) regardless of jax's own persistent
+        # cache, and this probe was paying it inside every fresh
+        # process's first LocalityPlan.build (measured as split_s
+        # 33.8 s vs 2.9 s on the second build in the same process).
+        # SGC_TPU_REPROBE=1 forces a fresh probe (the backend healed
+        # mid-round-2 once; a cached verdict must be refreshable).
+        cache = _probe_cache_path()
+        if cache and os.environ.get("SGC_TPU_REPROBE") != "1":
+            try:
+                import json
+
+                with open(cache) as fh:
+                    _SCALAR_PREFETCH_COMPILES = bool(
+                        json.load(fh)["compiles"])
+                return _SCALAR_PREFETCH_COMPILES
+            except (OSError, ValueError, KeyError):
+                pass
         nb, b, f = 8, 8, 128
         x = jnp.arange(nb * b * f, dtype=jnp.float32).reshape(nb * b, f)
         sel = jnp.asarray(
@@ -583,7 +603,38 @@ def scalar_prefetch_compiles() -> bool:
             _SCALAR_PREFETCH_COMPILES = bool(np.allclose(got, want))
         except Exception:  # compile helper exits 1 / Mosaic rejects
             _SCALAR_PREFETCH_COMPILES = False
+        if cache:
+            try:
+                import json
+
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                tmp = cache + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump({"compiles": _SCALAR_PREFETCH_COMPILES}, fh)
+                os.replace(tmp, cache)
+            except OSError:
+                pass
     return _SCALAR_PREFETCH_COMPILES
+
+
+def _probe_cache_path() -> str | None:
+    """Per-(backend, device-kind) cache file for the probe verdict —
+    same keying as ops.calibrate._cache_path."""
+    try:
+        import jax
+
+        root = os.environ.get(
+            "SGC_TPU_CALIBRATE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "..", ".sgc_tpu_cache"),
+        )
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "unknown").replace(" ", "_")
+        return os.path.join(
+            os.path.abspath(root),
+            f"scalar-prefetch-{jax.default_backend()}-{kind}.json")
+    except Exception:
+        return None
 
 
 def spmm_pallas(

@@ -76,7 +76,8 @@ class HaloDescriptor:
 
 
 def build_halo(pgraph: PartitionedGraph,
-               overlap: bool = False) -> HaloDescriptor:
+               overlap: bool = False,
+               device: bool = True) -> HaloDescriptor:
     """Compute the exchange plan from a partitioned graph (host-side).
 
     Locally-owned columns never enter the exchange: the device-side gather
@@ -169,14 +170,18 @@ def build_halo(pgraph: PartitionedGraph,
     edges_int = edges_bnd = None
     if overlap:
         edges_int, edges_bnd = _split_interior_boundary(
-            pgraph, cols_halo, R)
+            pgraph, cols_halo, R, device=device)
 
+    # device=False keeps the plan host numpy (see partition_graph: on a
+    # tunneled backend, eager device placement turns later host-side
+    # np.asarray reads into tunnel round-trips)
+    as_j = jnp.asarray if device else (lambda a: a)
     return HaloDescriptor(
-        send_idx=jnp.asarray(send_idx),
+        send_idx=as_j(send_idx),
         # the overlapped device path reads only send_idx + the split edge
         # lists; keep cols_halo HOST-side then so the unused [P, E_max]
         # array doesn't double edge storage on device
-        cols_halo=cols_halo if overlap else jnp.asarray(cols_halo),
+        cols_halo=cols_halo if overlap else as_j(cols_halo),
         halo_width=H,
         n_parts=P,
         edges_int=edges_int,
@@ -185,7 +190,8 @@ def build_halo(pgraph: PartitionedGraph,
 
 
 def _split_interior_boundary(pgraph: PartitionedGraph,
-                             cols_halo: np.ndarray, R: int):
+                             cols_halo: np.ndarray, R: int,
+                             device: bool = True):
     """Split each part's edges into interior (column < R: reads x_local)
     and boundary (column >= R: reads the halo buffer, re-based to 0).
 
@@ -221,7 +227,7 @@ def _split_interior_boundary(pgraph: PartitionedGraph,
         rb[p, :kb] = rows[p][~m]
         cb[p, :kb] = cols_halo[p][~m] - R
         vb[p, :kb] = vals[p][~m]
-    as_j = jnp.asarray
+    as_j = jnp.asarray if device else (lambda a: a)
     return ((as_j(ri), as_j(ci), as_j(vi)),
             (as_j(rb), as_j(cb), as_j(vb)))
 

@@ -75,12 +75,21 @@ def partition_graph(
     n_parts: int,
     row_align: int = 8,
     edge_pad: int = PART_EDGE_PAD,
+    device: bool = True,
 ) -> PartitionedGraph:
     """Split ``graph`` into ``n_parts`` contiguous row blocks (host-side).
 
     Rows are padded so every part owns the same number of rows (aligned to
     ``row_align`` sublanes); per-part edge lists are padded to the max part
     size rounded up to ``edge_pad``.
+
+    ``device=False`` keeps the edge arrays host numpy — REQUIRED for
+    host-only plan analysis (comm modelling, sharded-plan stats) on a
+    tunneled backend: ``jnp.asarray`` on creation would ship ~50 MB/array
+    to the chip and every later ``np.asarray`` (build_halo,
+    build_sharded_blockdense) would fetch it back at tunnel bandwidth —
+    measured as ~13 s of `array._value` inside the bench's plan region.
+    The device path is unaffected: shard_map ships numpy args on call.
     """
     from sgc_tpu import native
 
@@ -96,10 +105,11 @@ def partition_graph(
         rows, cols, vals, n_parts, rows_per_part, e_max, graph.n_cols
     )
 
+    as_j = jnp.asarray if device else (lambda a: a)
     return PartitionedGraph(
-        rows_local=jnp.asarray(p_rows),
-        cols=jnp.asarray(p_cols),
-        vals=jnp.asarray(p_vals),
+        rows_local=as_j(p_rows),
+        cols=as_j(p_cols),
+        vals=as_j(p_vals),
         n_parts=n_parts,
         rows_per_part=rows_per_part,
         n_rows=graph.n_rows,

@@ -141,11 +141,13 @@ def comm_model(
     from sgc_tpu.parallel.partition import _round_up
 
     t0 = time.perf_counter()
-    pgraph = partition_graph(graph, n_devices)
+    # device=False: this is host-side MODELLING — eager device placement
+    # would round-trip the edge arrays over a tunneled backend
+    pgraph = partition_graph(graph, n_devices, device=False)
     if build_plan:
         # materialize the full exchange plan (send_idx + edge remap) —
         # what a real run would build; timing reported as plan_build_s
-        halo = build_halo(pgraph)
+        halo = build_halo(pgraph, device=False)
         H = halo.halo_width
     else:
         # sizing-only path (bench.py): per-pair width counting gives H
@@ -335,7 +337,7 @@ def comm_model_two_level(
     D = devices_per_host
     F = feature_dim
     t0 = time.perf_counter()
-    pgraph = partition_graph(graph, P)
+    pgraph = partition_graph(graph, P, device=False)   # host-side model
     W = pair_width_matrix(pgraph)                      # [P, P]
     U = host_union_widths(pgraph, n_hosts)             # [n_hosts, P]
     plan_build_s = time.perf_counter() - t0

@@ -67,11 +67,22 @@ def _mmap_hugepage(nbytes: int):
 _COMPACT_TS = 0.0
 
 
-def fault_rate_probe(nbytes: int = 64 << 20) -> float:
+def fault_rate_probe(nbytes: int = 256 << 20) -> float:
     """Measured first-touch fault throughput (M faults/s) on a fresh
     anonymous region — the health probe for DESIGN §2e's fault wall.
-    Healthy: ~1 M/s (1 us/page). Degraded (fragmented kernel): ~0.04 M/s
-    (27 us/page) — a fresh 2.7 GB buffer then costs ~20 s to touch."""
+    Healthy: ~1 M/s (1 us/page). Degraded: ~0.04-0.2 M/s (5-27 us/page)
+    — a fresh 2.7 GB buffer then costs ~4-20 s to touch.
+
+    256 MB default: the degradation is SIZE-dependent (small regions
+    stay fast while multi-GB regions crawl — measured 1.6 M/s on a
+    64 MB probe in the same minute a 2 GB touch ran at 0.05 M/s), so a
+    small probe reports healthy while the multi-GB prep buffers pay the
+    wall. The root cause is (at least partly) OUTSIDE the guest:
+    /proc/buddyinfo showed 40 GB of free order-10 blocks while the wall
+    was active, and guest compaction did not move it — consistent with
+    hypervisor-side memory pressure on this VM. The probe therefore
+    MEASURES and reports; it cannot always fix (see ensure_fault_rate).
+    """
     import time
 
     a = np.empty(nbytes, np.uint8)
@@ -86,13 +97,13 @@ def ensure_fault_rate(min_mfaults: float = 0.8,
     compaction (``/proc/sys/vm/compact_memory`` — root-only, best-effort)
     and re-probe.
 
-    Measured on the build VM: the degraded state is MACHINE-wide (any
-    process that churned tens of GB fragments physical memory for
-    everyone; a fresh process probes 0.03 M faults/s), and one
-    compaction write (~0.1-0.2 s) restores ~1.3 M/s durably — the
-    27 us/page wall is gone even after another 12 GB of churn. This is
-    the missing systemic half of the hugepage story: MADV_HUGEPAGE only
-    helps when the kernel can actually assemble 2 MiB pages.
+    The degraded state is MACHINE-wide and time-varying. Compaction
+    helps when GUEST-side fragmentation starves THP of 2 MiB pages; on
+    this build VM the wall was also observed with 40 GB of free
+    order-10 blocks (hypervisor-side pressure), where compaction cannot
+    help — the probe's value then is ATTRIBUTION: the measured rates
+    ride in prep_seconds / the bench plan block, so a slow driver run
+    is explainable from the JSON instead of looking like a regression.
 
     Returns {"rate_before", "rate_after", "compacted"} for logging.
     SGC_TPU_NO_COMPACT=1 disables the write (probe only).

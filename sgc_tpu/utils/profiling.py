@@ -156,3 +156,56 @@ class ScalarWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class stack_sampler:
+    """Low-tech sampling profiler: a daemon thread snapshots the MAIN
+    thread's stack every ``interval`` seconds; ``report()`` returns the
+    most common (file, line, function) leaves. For attributing
+    wall-clock inside opaque host-side regions (no perf/py-spy in this
+    environment)."""
+
+    def __init__(self, interval: float = 0.2):
+        self.interval = interval
+        self.samples: list = []
+        self._stop = False
+        self._main_id = None
+        self._thread = None
+
+    def __enter__(self):
+        import threading
+
+        self._main_id = threading.main_thread().ident
+
+        def run():
+            import sys
+            import time
+
+            while not self._stop:
+                frames = sys._current_frames()
+                f = frames.get(self._main_id)
+                stack = []
+                while f is not None and len(stack) < 12:
+                    stack.append((f.f_code.co_filename.rsplit("/", 2)[-1],
+                                  f.f_lineno, f.f_code.co_name))
+                    f = f.f_back
+                self.samples.append(tuple(stack))
+                time.sleep(self.interval)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        self._thread.join(timeout=2.0)
+
+    def report(self, top: int = 10) -> list:
+        from collections import Counter
+
+        leaves = Counter(s[0] for s in self.samples if s)
+        total = max(len(self.samples), 1)
+        return [
+            {"where": f"{f}:{ln} {fn}", "frac": round(c / total, 3)}
+            for (f, ln, fn), c in leaves.most_common(top)
+        ]
