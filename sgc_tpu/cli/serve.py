@@ -98,14 +98,31 @@ def run_bench(a) -> None:
     variants = a.variants.split(",")
     results = []
     for name in variants:
-        cfg = EngineConfig(
-            max_batch=a.max_batch,
-            quantize_int8=(name == "int8"),
-            shard_store=(name == "shard"),
-            warmup=False,            # per-bucket warm happens in the sweep
-        )
-        log(f"variant {name}: building engine...")
-        engine = InferenceEngine(params, features=feats, config=cfg)
+        if name == "inductive":
+            # unseen-node serving: fixed-fanout sampled propagation over
+            # the graph per request (the serving analog of reference
+            # reddit.py's inductive eval) — needs the graph on device
+            from sgc_tpu.data.synthetic import synthetic_reddit
+
+            log("variant inductive: building graph (device transfer)...")
+            graph, raw, _, _ = synthetic_reddit(n / 232_965)
+            import jax.numpy as jnp
+
+            graph = jax.tree_util.tree_map(jnp.asarray, graph)
+            cfg = EngineConfig(max_batch=a.max_batch, warmup=False,
+                               fanouts=(25, 10))
+            engine = InferenceEngine(
+                params, graph=graph, raw_features=np.asarray(raw),
+                config=cfg)
+        else:
+            cfg = EngineConfig(
+                max_batch=a.max_batch,
+                quantize_int8=(name == "int8"),
+                shard_store=(name == "shard"),
+                warmup=False,        # per-bucket warm happens in the sweep
+            )
+            log(f"variant {name}: building engine...")
+            engine = InferenceEngine(params, features=feats, config=cfg)
         results.extend(_bench_variant(name, engine, batches, a.reps))
         del engine
 
