@@ -121,8 +121,32 @@ class InferenceEngine:
         self._key = jax.random.PRNGKey(self.config.seed)
 
         self._scales = None
-        if self._mode == "transductive":
+        # true (unpadded) node count — id-range validation must reject
+        # ids that fall in the zero-pad rows added for sharding
+        self._n_nodes = (int(features.shape[0]) if features is not None
+                         else int(raw_features.shape[0])
+                         if raw_features is not None else 0)
+        from sgc_tpu.parallel.staging import is_provider
+
+        if is_provider(features):
+            # row-provider store (mmap'd .npy, generator, ...): only
+            # meaningful with shard_store — each device's rows are
+            # materialized and placed independently via
+            # parallel/staging.py, so a store larger than one chip's
+            # HBM (or one host buffer) never exists monolithically
+            if not self.config.shard_store:
+                raise ValueError(
+                    "a row-provider feature store requires "
+                    "shard_store=True (unsharded serving would "
+                    "materialize the full matrix anyway)")
             if self.config.quantize_int8:
+                raise ValueError(
+                    "quantize_int8 quantizes the full store up front — "
+                    "pre-quantize the provider instead")
+        if self._mode == "transductive":
+            if is_provider(features):
+                pass                       # staged below in shard_store
+            elif self.config.quantize_int8:
                 # per-row symmetric int8: 4x less HBM for the dominant
                 # serving asset (N x F precomputed features); dequantize
                 # happens in-kernel after the batch-row gather
@@ -161,16 +185,29 @@ class InferenceEngine:
             mesh = make_mesh(len(jax.devices()), 1)
             spec = NamedSharding(mesh, P(NODES_AXIS))
 
-            def _pad_rows(a):
-                pad = (-a.shape[0]) % mesh.shape[NODES_AXIS]
-                if pad:
-                    a = jnp.concatenate(
-                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-                return jax.device_put(a, spec)
+            if is_provider(features):
+                # staged placement: each device's rows come from the
+                # provider independently — a store larger than one
+                # chip's HBM (or one host staging buffer) is servable
+                # (parallel/staging.py; the serving twin of the
+                # beyond-one-device training demo)
+                from sgc_tpu.parallel.staging import stage_rows
 
-            self._features = _pad_rows(self._features)
-            if self._scales is not None:
-                self._scales = _pad_rows(self._scales)
+                n, f = (int(d) for d in features.shape)
+                self._features = stage_rows(
+                    mesh, features, n_cols_padded=f,
+                    dtype=features.dtype)
+            else:
+                def _pad_rows(a):
+                    pad = (-a.shape[0]) % mesh.shape[NODES_AXIS]
+                    if pad:
+                        a = jnp.concatenate(
+                            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                    return jax.device_put(a, spec)
+
+                self._features = _pad_rows(self._features)
+                if self._scales is not None:
+                    self._scales = _pad_rows(self._scales)
 
         self._bucket_sizes = _buckets(
             self.config.min_batch, self.config.max_batch
@@ -251,7 +288,7 @@ class InferenceEngine:
                 raise ValueError(
                     f"node_ids must be integers; got dtype {arr.dtype}"
                 )
-        n_nodes = int(self._features.shape[0])
+        n_nodes = self._n_nodes
         # XLA gather clamps out-of-range indices, which would return a
         # confidently wrong row for a client bug — reject instead
         if arr.size and (arr.min() < 0 or arr.max() >= n_nodes):

@@ -294,3 +294,44 @@ class TestBench:
             assert r["requests"] == 3
             assert r["rows_per_s"] > 0
             assert r["p99_ms"] >= r["p50_ms"] > 0
+
+
+class TestStagedStore:
+    def test_provider_store_matches_ndarray_shard_store(self, trained):
+        """shard_store from a row provider == shard_store from the full
+        ndarray, bitwise — and the full matrix is never requested in
+        one provider call."""
+        from tests.test_staging import _ArrayProvider
+
+        params, feats, _ = trained
+        cfg = EngineConfig(min_batch=4, max_batch=16, shard_store=True,
+                           warmup=False)
+        ref = InferenceEngine(params, features=feats, config=cfg)
+        prov = _ArrayProvider(feats)
+        eng = InferenceEngine(params, features=prov, config=cfg)
+        ids = list(range(0, 48, 3))
+        np.testing.assert_array_equal(
+            ref.predict_logits(ids), eng.predict_logits(ids))
+        n_dev = len(jax.devices())
+        assert max(b - a for a, b in prov.calls) <= -(-feats.shape[0] // n_dev) + n_dev
+
+    def test_provider_requires_shard_store(self, trained):
+        from tests.test_staging import _ArrayProvider
+
+        params, feats, _ = trained
+        with pytest.raises(ValueError, match="shard_store"):
+            InferenceEngine(params, features=_ArrayProvider(feats),
+                            config=EngineConfig(warmup=False))
+
+    def test_padded_row_ids_rejected(self, trained):
+        """ids in the zero-pad rows (>= true n) must raise, not serve
+        confidently-wrong zeros."""
+        from tests.test_staging import _ArrayProvider
+
+        params, feats, _ = trained
+        eng = InferenceEngine(
+            params, features=_ArrayProvider(feats),
+            config=EngineConfig(min_batch=4, max_batch=16,
+                                shard_store=True, warmup=False))
+        with pytest.raises(ValueError, match="out of range"):
+            eng.predict_logits([feats.shape[0]])
