@@ -15,7 +15,7 @@ reddit.py:66-72), random-id batches swept over the bucket sizes, one
 JSON line with p50/p99 latency and rows/s per (variant, batch):
 
     python -m sgc_tpu.cli.serve --bench                # f32 + int8
-    python -m sgc_tpu.cli.serve --bench --variants f32,int8,shard
+    python -m sgc_tpu.cli.serve --bench --variants f32,int8,shard,inductive
 
 On a tunneled backend every request pays the tunnel round-trip; the
 reported ``dispatch_floor_ms`` (a trivial device program's round-trip)
@@ -151,7 +151,7 @@ def main() -> None:
     p.add_argument("--bench_nodes", type=int, default=232_965,
                    help="--bench store rows (default: Reddit scale)")
     p.add_argument("--variants", default="f32,int8",
-                   help="--bench engine variants (f32,int8,shard)")
+                   help="--bench engine variants (f32,int8,shard,inductive)")
     p.add_argument("--reps", type=int, default=30,
                    help="--bench requests per (variant, batch)")
     a = p.parse_args()
