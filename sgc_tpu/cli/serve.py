@@ -38,7 +38,7 @@ def log(msg: str) -> None:
 
 def _bench_variant(name: str, engine, batches, reps: int) -> list[dict]:
     rng = np.random.default_rng(0)
-    n_nodes = int(engine._features.shape[0])
+    n_nodes = engine._n_nodes          # true rows (excludes shard pads)
     out = []
     for b in batches:
         # fresh stats window per (variant, batch)
