@@ -152,6 +152,8 @@ def fit_sharded(
     checkpoint_dir: str | None = None,
     save_every: int = 25,
     edge_chunk: int | None = None,
+    trainer: str = "adam",
+    newton_steps: int = 8,
 ):
     """Distributed SGC fit. Returns (host SGCParams, FitReport).
 
@@ -179,6 +181,18 @@ def fit_sharded(
     blocks then align with communities, shrinking the halo. Labels/
     features/idx_train travel with their nodes; the returned params are
     node-order-independent, so nothing needs restoring.
+
+    ``trainer``: ``"adam"`` (default) mirrors the reference's Adam
+    regression epochs (citation.py:41-42) as an SPMD step;
+    ``"newton"`` runs the accelerated Böhning/MM fit
+    (``train/optim.py::newton_linear_fit``) on the SHARDED features —
+    the partitioner turns its Gram/gradient contractions into psums
+    over the "nodes" axis and its Cholesky/solve replicate, so the
+    same ~``newton_steps`` sequential MXU steps that replaced the
+    LBFGS chain single-chip also train the distributed head. Epoch
+    knobs (``epochs``/``lr``/``save_every``/``checkpoint_dir``) apply
+    to the adam path only; a Newton fit is seconds of work with no
+    optimizer state worth checkpointing.
 
     ``checkpoint_dir``: preemption-safe training — the sharded train
     state (params + Adam moments, device shardings preserved via orbax)
@@ -289,6 +303,33 @@ def fit_sharded(
 
     y, m = place_node_targets(mesh, pgraph.n_rows_padded, labels, idx_train)
 
+    if trainer not in ("adam", "newton"):
+        raise ValueError(f"unknown trainer {trainer!r}")
+    if trainer == "newton":
+        if checkpoint_dir:
+            raise ValueError(
+                "checkpoint_dir applies to the adam epoch loop; the "
+                "newton fit is a single short program")
+        from functools import partial as _partial
+
+        from sgc_tpu.train.optim import newton_linear_fit
+
+        state = init_sharded_state(
+            mesh, jax.random.PRNGKey(seed), int(x.shape[1]), n_classes,
+            lr=lr, weight_decay=weight_decay,
+        )
+        fit_fn = jax.jit(_partial(
+            newton_linear_fit, steps=newton_steps, binary=False))
+        w_s, b_s, final_loss = fit_fn(
+            state.params.w, state.params.b, x, y,
+            jnp.asarray(weight_decay, jnp.float32), m)
+        w = fetch_global(w_s)
+        b = fetch_global(b_s)
+        params = SGCParams(w=jnp.asarray(w), b=jnp.asarray(b))
+        losses = [float(fetch_global(final_loss))]
+        return _finish(mesh, pgraph, x, params, labels, idx_train,
+                       losses, frac, formulation, dense_fraction)
+
     state = init_sharded_state(
         mesh, jax.random.PRNGKey(seed), int(x.shape[1]), n_classes,
         lr=lr, weight_decay=weight_decay,
@@ -354,7 +395,13 @@ def fit_sharded(
     w = fetch_global(state.params.w)
     b = fetch_global(state.params.b)
     params = SGCParams(w=jnp.asarray(w), b=jnp.asarray(b))
+    return _finish(mesh, pgraph, x, params, labels, idx_train,
+                   losses, frac, formulation, dense_fraction)
 
+
+def _finish(mesh, pgraph, x, params, labels, idx_train, losses, frac,
+            formulation, dense_fraction):
+    """Shared fit_sharded tail: training accuracy + report."""
     # training accuracy from sharded features (jit auto-partitions)
     @jax.jit
     def logits_fn(x, w, b):
@@ -371,7 +418,7 @@ def fit_sharded(
         loss_history=losses,
         train_accuracy=train_acc,
         n_devices=len(mesh.devices.ravel()),
-        n_parts=n_parts,
+        n_parts=mesh.shape[NODES_AXIS],
         halo_fraction=frac,
         formulation=formulation,
         dense_fraction=dense_fraction,

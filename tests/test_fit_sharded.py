@@ -261,3 +261,56 @@ def test_fit_sharded_checkpoint_safety(tmp_path):
                                 **{**kw, "epochs": 10})
     assert any("exceeds the requested" in str(x.message) for x in w)
     assert len(report.loss_history) == 10
+
+
+def test_fit_sharded_newton_trainer_matches_single_device():
+    """trainer="newton": the Böhning/MM head fit sharded by the
+    partitioner (psum'd Gram/gradients) must match the single-device
+    newton_linear_fit on the same propagated features."""
+    import jax.numpy as jnp
+
+    from sgc_tpu.train.optim import newton_linear_fit
+
+    graph, x, y, idx_train, c = _task(seed=5)
+    mesh = make_mesh(4, 2)
+    params, report = fit_sharded(
+        graph, x, y, idx_train, c,
+        mesh=mesh, degree=2, epochs=0, weight_decay=1e-4,
+        trainer="newton", newton_steps=6,
+    )
+    assert report.train_accuracy > 0.9
+
+    # single-device oracle: same init geometry (padded F), same mask
+    from sgc_tpu.models.sgc import init_sgc
+
+    feats = np.asarray(propagate(jnp.asarray(x), graph, 2))
+    f_pad = params.w.shape[0]
+    zpad = np.zeros((feats.shape[0], f_pad - feats.shape[1]), np.float32)
+    # replicate fit_sharded's padded-row space: rows beyond n get mask 0
+    n_pad = -(-feats.shape[0] // 8) * 8
+    Z = np.zeros((n_pad, f_pad), np.float32)
+    Z[: feats.shape[0]] = np.concatenate([feats, zpad], axis=1)
+    yy = np.zeros(n_pad, np.int32)
+    yy[: len(y)] = y
+    sw = np.zeros(n_pad, np.float32)
+    sw[np.asarray(idx_train)] = 1.0
+    p0 = init_sgc(jax.random.PRNGKey(42), f_pad, c, bias=True)
+    w_ref, b_ref, _ = newton_linear_fit(
+        p0.w, p0.b, jnp.asarray(Z), jnp.asarray(yy),
+        jnp.asarray(1e-4, jnp.float32), jnp.asarray(sw), steps=6)
+    # sharded psum reduction order accumulates f32 rounding over the
+    # 6 steps (and through the discrete line-search choices) — the
+    # trajectories match to ~1e-2 absolute on O(5) weights
+    np.testing.assert_allclose(
+        np.asarray(params.w), np.asarray(w_ref), rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(params.b), np.asarray(b_ref), rtol=0.02, atol=0.02)
+
+
+def test_fit_sharded_newton_rejects_checkpoint():
+    import pytest
+
+    graph, x, y, idx_train, c = _task(seed=6)
+    with pytest.raises(ValueError, match="adam"):
+        fit_sharded(graph, x, y, idx_train, c, mesh=make_mesh(4, 1),
+                    trainer="newton", checkpoint_dir="/tmp/nope")
