@@ -27,6 +27,7 @@ def run(
     data_path: str | None = None,
     propagator: str = "sgc",
     sharded: bool = False,
+    trainer: str = "adam",
 ) -> dict:
     cfg = cfg.resolve()
     key = set_seed(cfg.seed)
@@ -40,7 +41,7 @@ def run(
         # fit_gcn_sharded (GCN: per-layer sharded SpMM inside the step)
         if propagator != "sgc":
             raise ValueError("--sharded supports the sgc propagator only")
-        return _run_sharded(cfg, data)
+        return _run_sharded(cfg, data, trainer=trainer)
 
     if cfg.model == "SGC":
         params = init_fn(key, data.features.shape[1], data.n_classes)
@@ -97,7 +98,7 @@ def run(
     }
 
 
-def _run_sharded(cfg, data) -> dict:
+def _run_sharded(cfg, data, trainer: str = "adam") -> dict:
     """Citation training over all available devices (the multi-chip face
     of the CLI: fit_sharded / fit_gcn_sharded)."""
     from time import perf_counter
@@ -118,6 +119,7 @@ def _run_sharded(cfg, data) -> dict:
             data.graph, feats, labels, idx_train, data.n_classes,
             degree=cfg.degree, epochs=cfg.epochs, lr=cfg.lr,
             weight_decay=cfg.weight_decay, seed=cfg.seed,
+            trainer=trainer,
         )
         # evaluate with the single-device propagation (params are
         # node-order independent; w sliced back to the unpadded width)
@@ -170,6 +172,11 @@ def main() -> None:
     parser.add_argument("--sharded", action="store_true",
                         help="train over all available devices "
                              "(fit_sharded / fit_gcn_sharded)")
+    parser.add_argument("--trainer", default="adam",
+                        choices=["adam", "newton"],
+                        help="--sharded SGC head trainer: adam epochs "
+                             "(reference-faithful) or the newton fit "
+                             "(~8 MXU steps; round-4 headline trainer)")
     parser.add_argument("--degree", type=int, default=2)
     parser.add_argument("--tuned", action="store_true")
     parser.add_argument("--data_path", default=None)
@@ -192,7 +199,7 @@ def main() -> None:
         cfg.resolve()
         print(f"using tuned weight decay: {cfg.weight_decay}")
     res = run(cfg, args.data_path, propagator=args.propagator,
-              sharded=args.sharded)
+              sharded=args.sharded, trainer=args.trainer)
     print(
         "Validation Accuracy: {:.4f} Test Accuracy: {:.4f}".format(
             res["val_accuracy"], res["test_accuracy"]

@@ -151,3 +151,19 @@ def test_citation_cli_sharded_smoke():
     res = run(CitationConfig(dataset="cora", model="GCN", epochs=60,
                              lr=0.01, weight_decay=5e-4), sharded=True)
     assert res["test_accuracy"] > 0.75
+
+
+def test_citation_cli_sharded_newton_reaches_golden():
+    """--sharded --trainer newton: the distributed Newton head reaches
+    the cora tuned golden (0.810 single-device reference)."""
+    import pytest
+
+    from sgc_tpu.cli.citation import run
+    from sgc_tpu.utils.config import CitationConfig
+
+    try:
+        res = run(CitationConfig(dataset="cora", tuned=True),
+                  sharded=True, trainer="newton")
+    except FileNotFoundError:
+        pytest.skip("cora data unavailable")
+    assert res["test_accuracy"] >= 0.79
