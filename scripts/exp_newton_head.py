@@ -77,21 +77,6 @@ def main():
                                 axis=1))
 
     @jax.jit
-    def step(theta):
-        logits = Z @ theta
-        P = jax.nn.softmax(logits)
-        G = Z.T @ (P - Y1) / n
-        D = cho_solve(cf_, G)
-        ZD = Z @ D
-        losses = jax.vmap(lambda t: ce(logits - t * ZD))(ts)
-        best = jnp.argmin(losses)
-        return theta - ts[best] * ZD_theta(D, best), losses[best]
-
-    def ZD_theta(D, best):
-        return ts[best] * 0 + D * ts[best] / ts[best]  # placeholder
-
-    # simpler: inline
-    @jax.jit
     def step2(theta):
         logits = Z @ theta
         P = jax.nn.softmax(logits)

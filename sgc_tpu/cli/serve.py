@@ -83,9 +83,11 @@ def run_bench(a) -> None:
     params = init_sgc(jax.random.PRNGKey(0), f, c, bias=True)
 
     # the per-program round-trip floor of this backend (DESIGN §2d): on a
-    # tunneled TPU it is ~30 ms and dominates small-batch latency
+    # tunneled TPU it is ~30 ms and dominates small-batch latency.
+    # device_put the operand ONCE — a host numpy jit arg re-transfers
+    # every call over the tunnel and would inflate the floor
     fn = jax.jit(lambda v: v * 2.0 + 1.0)
-    v = np.ones((8, 128), np.float32)
+    v = jax.device_put(np.ones((8, 128), np.float32))
     sync(fn(v))
     floor = float("inf")
     for _ in range(3):
@@ -96,6 +98,12 @@ def run_bench(a) -> None:
     batches = [1, 8, 64, 512, a.max_batch]
     batches = sorted({b for b in batches if b <= a.max_batch})
     variants = a.variants.split(",")
+    known = {"f32", "int8", "shard", "inductive"}
+    bad = [v for v in variants if v not in known]
+    if bad:
+        raise SystemExit(
+            f"unknown --variants {bad}: expected a subset of {sorted(known)}"
+        )
     results = []
     for name in variants:
         if name == "inductive":

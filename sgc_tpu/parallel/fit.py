@@ -254,7 +254,11 @@ def fit_sharded(
             want_halo = bool(use_halo)
             frac = None  # computed below once a plan exists
         if formulation == "auto":
-            formulation = "blockdense" if want_halo else "segment"
+            # edge_chunk is the memory-bounded-hop request — only the
+            # segment formulation honors it (spmm_sharded rejects the
+            # combination explicitly), so auto must not pick blockdense
+            formulation = ("blockdense" if want_halo and not edge_chunk
+                           else "segment")
         if not want_halo:
             halo = None
             if frac is None:   # use_halo=False: nothing was measured
@@ -349,7 +353,7 @@ def fit_sharded(
 
         fp = hashlib.sha256(repr((
             "fit_sharded_v1", graph.nnz, graph.n_rows,
-            int(features.shape[1]), n_classes, degree, lr,
+            int(np.shape(features)[1]), n_classes, degree, lr,
             weight_decay, seed, formulation, n_parts, n_feat_parts,
             reorder, row_block, stripe, edge_chunk,
         )).encode()).hexdigest()[:16]

@@ -370,10 +370,14 @@ def exchange_and_spmm_overlapped(
             jnp.take(x_local, ci, axis=0) * vi[:, None],
             ri, num_segments=rows_per_part, indices_are_sorted=False,
         )
-    bnd = jax.ops.segment_sum(
-        jnp.take(halo, cb, axis=0) * vb[:, None],
-        rb, num_segments=rows_per_part, indices_are_sorted=False,
-    )
+    if edge_chunk:
+        bnd = _chunked_segment_spmm(
+            rb, cb, vb, halo, rows_per_part, edge_chunk)
+    else:
+        bnd = jax.ops.segment_sum(
+            jnp.take(halo, cb, axis=0) * vb[:, None],
+            rb, num_segments=rows_per_part, indices_are_sorted=False,
+        )
     return acc + bnd
 
 
@@ -384,6 +388,7 @@ def exchange_and_spmm(
     send_idx: jnp.ndarray,        # [P, H] rows this chip sends to each peer
     x_local: jnp.ndarray,         # [R, F] local feature rows
     rows_per_part: int,
+    edge_chunk: int | None = None,
 ) -> jnp.ndarray:
     """One halo-exchanged SpMM hop; call inside shard_map over "nodes"."""
     send = jnp.take(x_local, send_idx.reshape(-1), axis=0)   # (P*H, F)
@@ -391,6 +396,9 @@ def exchange_and_spmm(
         send, NODES_AXIS, split_axis=0, concat_axis=0, tiled=True
     )                                                        # (P*H, F)
     table = jnp.concatenate([x_local, halo], axis=0)         # (R + P*H, F)
+    if edge_chunk:
+        return _chunked_segment_spmm(
+            rows_local, cols_halo, vals, table, rows_per_part, edge_chunk)
     contrib = jnp.take(table, cols_halo, axis=0) * vals[:, None]
     return jax.ops.segment_sum(
         contrib, rows_local, num_segments=rows_per_part,

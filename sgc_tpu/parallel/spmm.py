@@ -30,8 +30,19 @@ from sgc_tpu.parallel.mesh import FEAT_AXIS, NODES_AXIS
 from sgc_tpu.parallel.partition import PartitionedGraph
 
 
-def _local_spmm(rows_local, cols, vals, x_full, rows_per_part):
-    """Row-segment SpMM of one edge shard against gathered features."""
+def _local_spmm(rows_local, cols, vals, x_full, rows_per_part,
+                edge_chunk=None):
+    """Row-segment SpMM of one edge shard against gathered features.
+
+    ``edge_chunk`` bounds the [E, F] contribution transient at
+    ``chunk x F`` via the edge-chunked scan (halo._chunked_segment_spmm)
+    — the beyond-one-device memory control, honored on EVERY segment
+    formulation branch (not just the overlapped-halo one)."""
+    if edge_chunk:
+        from sgc_tpu.parallel.halo import _chunked_segment_spmm
+
+        return _chunked_segment_spmm(
+            rows_local, cols, vals, x_full, rows_per_part, edge_chunk)
     contrib = jnp.take(x_full, cols, axis=0) * vals[:, None]
     return jax.ops.segment_sum(
         contrib, rows_local, num_segments=rows_per_part, indices_are_sorted=False
@@ -70,6 +81,12 @@ def spmm_sharded(
     edge_spec = P(NODES_AXIS, None)
 
     if blockdense is not None:
+        if edge_chunk:
+            raise ValueError(
+                "edge_chunk applies to the segment formulations; the "
+                "block-dense formulation's dense term is already "
+                "tile-bounded and its remainder is not chunked — use "
+                "formulation='segment' for memory-bounded hops")
         from sgc_tpu.parallel.blockdense import (
             blockdense_exchange_and_spmm,
             blockdense_flat_args,
@@ -125,7 +142,7 @@ def spmm_sharded(
         def body_halo(rows_l, cols_h, vals, send_idx, x_local):
             return exchange_and_spmm(
                 rows_l[0], cols_h[0], vals[0], send_idx[0],
-                x_local, pgraph.rows_per_part,
+                x_local, pgraph.rows_per_part, edge_chunk=edge_chunk,
             )
 
         fn = shard_map(
@@ -137,6 +154,7 @@ def spmm_sharded(
                 P(NODES_AXIS, FEAT_AXIS),
             ),
             out_specs=P(NODES_AXIS, FEAT_AXIS),
+            check_vma=not edge_chunk,   # chunked-scan carry (see above)
         )
         return fn(
             pgraph.rows_local, halo.cols_halo, pgraph.vals, halo.send_idx, x
@@ -146,7 +164,8 @@ def spmm_sharded(
         # shapes: rows_l/cols/vals [1, E], x_local [R, F/pf]
         x_full = jax.lax.all_gather(x_local, NODES_AXIS, axis=0, tiled=True)
         return _local_spmm(
-            rows_l[0], cols[0], vals[0], x_full, pgraph.rows_per_part
+            rows_l[0], cols[0], vals[0], x_full, pgraph.rows_per_part,
+            edge_chunk=edge_chunk,
         )
 
     fn = shard_map(
@@ -154,6 +173,7 @@ def spmm_sharded(
         mesh=mesh,
         in_specs=(edge_spec, edge_spec, edge_spec, P(NODES_AXIS, FEAT_AXIS)),
         out_specs=P(NODES_AXIS, FEAT_AXIS),
+        check_vma=not edge_chunk,       # chunked-scan carry (see above)
     )
     return fn(pgraph.rows_local, pgraph.cols, pgraph.vals, x)
 
@@ -183,7 +203,13 @@ def propagate_sharded(
                          form=form, interpret=interpret,
                          edge_chunk=edge_chunk)
         if sync_each_hop and not isinstance(x, jax.core.Tracer):
-            jax.block_until_ready(x)
+            # profiling.sync, not block_until_ready: the tunneled axon
+            # backend's block_until_ready can return EARLY (CLAUDE.md),
+            # which would re-stack both hops' transients — the exact
+            # condition this sync exists to prevent
+            from sgc_tpu.utils.profiling import sync
+
+            sync(x)
     return x
 
 

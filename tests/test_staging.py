@@ -162,12 +162,26 @@ def test_edge_chunked_halo_hop_matches_unchunked():
     halo = build_halo(pg, overlap=True)
     xs = shard_features(mesh, jnp.asarray(
         np.pad(x, ((0, pg.n_rows_padded - x.shape[0]), (0, 0)))))
+    halo_plain = build_halo(pg)
     ref = propagate_sharded(mesh, pg, xs, 2, halo=halo)
-    # chunk smaller than the edge count so the scan really iterates
-    chk = propagate_sharded(mesh, pg, xs, 2, halo=halo, edge_chunk=64,
-                            sync_each_hop=True)
-    np.testing.assert_allclose(
-        np.asarray(chk), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # chunk smaller than the edge count so the scan really iterates;
+    # edge_chunk must be honored by EVERY segment exchange (overlapped
+    # halo, plain halo, all-gather — review finding round 4)
+    for kw in (dict(halo=halo), dict(halo=halo_plain), dict()):
+        chk = propagate_sharded(mesh, pg, xs, 2, edge_chunk=64,
+                                sync_each_hop=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(chk), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # the blockdense formulation rejects the combination explicitly
+    import pytest
+
+    from sgc_tpu.parallel.blockdense import build_sharded_blockdense
+
+    bd = build_sharded_blockdense(pg, halo_plain, 16, row_block=16,
+                                  stripe=16, min_edges=0)
+    with pytest.raises(ValueError, match="edge_chunk"):
+        propagate_sharded(mesh, pg, xs, 1, blockdense=bd, edge_chunk=64)
 
 
 import os
