@@ -33,6 +33,7 @@ problem, and `restore_rows` maps per-node results back to input ids.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -134,6 +135,11 @@ class LocalityPlan:
         probe = ensure_fault_rate()
         t["fault_mrate_before"] = probe["rate_before"]
         t["fault_mrate_after"] = probe["rate_after"]
+        # (Measured and REJECTED: prewarming the split's cell buffer in
+        # a background thread during ordering — the overlap hypothesis
+        # fails on this 4-core box, fault handling starves the order
+        # stage instead: order_s 7.5 -> 27.2 s A/B'd same-minute, net
+        # prep 26 -> 44 s. DESIGN §2e round-4 revision.)
         t0 = time.perf_counter()
         graph_p, features_p, labels_p, idx_p, order = reorder_graph_arrays(
             graph, ordering, features, labels, idx_train)

@@ -39,6 +39,10 @@ _libc = None
 # once its array has been garbage collected
 _POOL: list = []
 
+import threading as _threading
+
+_POOL_LOCK = _threading.Lock()
+
 
 def _get_libc():
     global _libc
@@ -180,17 +184,20 @@ def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
         return np.zeros(n_elems, dtype)
 
     # reuse: smallest free pooled buffer that fits without >2x waste
-    best = None
-    for entry in _POOL:
-        m, size, ref = entry
-        if ref() is None and nbytes <= size <= 2 * nbytes:
-            if best is None or size < best[1]:
-                best = entry
+    # (_POOL_LOCK: prewarm_pool_async races the real request)
+    with _POOL_LOCK:
+        best = None
+        for entry in _POOL:
+            m, size, ref = entry
+            if ref() is None and nbytes <= size <= 2 * nbytes:
+                if best is None or size < best[1]:
+                    best = entry
+        if best is not None:
+            m, size, _ = best
+            arr = np.frombuffer(m, dtype=dtype, count=n_elems)
+            best[2] = weakref.ref(arr)
     if best is not None:
-        m, size, _ = best
-        arr = np.frombuffer(m, dtype=dtype, count=n_elems)
         arr[:] = dtype.type(0)   # memset-speed: pages already faulted
-        best[2] = weakref.ref(arr)
         return arr
 
     try:
@@ -201,14 +208,15 @@ def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
         return np.zeros(n_elems, dtype)
 
     if _pool_cap_bytes() > 0:
-        _POOL.append([m, nbytes, weakref.ref(arr)])
-        # evict oldest dead entries beyond the cap (live entries are
-        # owned by their arrays and cost the pool nothing extra)
-        total = sum(e[1] for e in _POOL)
-        for e in list(_POOL):
-            if total <= _pool_cap_bytes():
-                break
-            if e[2]() is None:
-                _POOL.remove(e)
-                total -= e[1]
+        with _POOL_LOCK:
+            _POOL.append([m, nbytes, weakref.ref(arr)])
+            # evict oldest dead entries beyond the cap (live entries are
+            # owned by their arrays and cost the pool nothing extra)
+            total = sum(e[1] for e in _POOL)
+            for e in list(_POOL):
+                if total <= _pool_cap_bytes():
+                    break
+                if e[2]() is None:
+                    _POOL.remove(e)
+                    total -= e[1]
     return arr
