@@ -128,49 +128,75 @@ def sgc_precompute(
         out = features[jnp.asarray(np.asarray(out_rows))]
         sync(out)
         return out, perf_counter() - t
-    if impl in ("pallas", "hybrid"):
+    if impl in ("pallas", "hybrid", "blockdense"):
         # These impls tile/split the graph HOST-side on first use, so the
-        # graph cannot be a traced jit argument; capture it concretely in
-        # a closure and jit over the features only. The tiling build is
-        # cached (spmm_pallas._tile_cached / spmm_hybrid._split_cached)
-        # and, like row_subgraph, excluded from the timed region.
+        # graph cannot be a traced jit argument; the split is built
+        # EAGERLY (cached, excluded from the timed region) and its LARGE
+        # edge/cell arrays ride as jit ARGUMENTS — closing the jit over
+        # them would bake 100s of MB as HLO literals (remote-compile 413
+        # / minutes of host lowering; CLAUDE.md hybrid_device_args rule).
+        # The flat-pallas impl keeps the small-scale closure form (its
+        # tiled arrays are edge-sized too, but it is the research path —
+        # production kernels go through LocalityPlan).
         final = (_row_subgraph_cached(graph, out_rows)
                  if out_rows is not None else None)
+        n_main = degree - (1 if final is not None else 0)
         if impl == "hybrid":
-            # the split itself must be built EAGERLY (it constructs
-            # SparseGraphs, which would trace under jit)
             from sgc_tpu.ops.spmm_hybrid import (_split_cached,
+                                                 hybrid_bind,
+                                                 hybrid_device_args,
                                                  spmm_hybrid_split)
 
             nf = int(features.shape[1])
             main_split = _split_cached(graph, nf, 512, 512, 1024, None)
             final_split = (_split_cached(final, nf, 512, 512, 1024, None)
                            if final is not None else None)
+            dev_args = (hybrid_device_args(main_split),
+                        hybrid_device_args(final_split)
+                        if final_split is not None else None)
 
-            def hop(x, g):
-                del g
-                return spmm_hybrid_split(main_split, x)
+            def khop(x, args):
+                ma, fa = args
+                for _ in range(n_main):
+                    x = spmm_hybrid_split(hybrid_bind(main_split, ma), x)
+                if final_split is not None:
+                    x = spmm_hybrid_split(hybrid_bind(final_split, fa), x)
+                return x
+        elif impl == "blockdense":
+            from sgc_tpu.ops.spmm_blockdense import (_device_args_cached,
+                                                     _split_cached,
+                                                     spmm_block_dense)
 
-            def final_hop(x):
-                return spmm_hybrid_split(final_split, x)
+            nf = int(features.shape[1])
+            main_split = _split_cached(graph, nf, 512, 512)
+            final_split = (_split_cached(final, nf, 512, 512)
+                           if final is not None else None)
+            dev_args = (_device_args_cached(main_split),
+                        _device_args_cached(final_split)
+                        if final_split is not None else None)
+
+            def khop(x, args):
+                ma, fa = args
+                for _ in range(n_main):
+                    x = spmm_block_dense(main_split, x, args=ma)
+                if final_split is not None:
+                    x = spmm_block_dense(final_split, x, args=fa)
+                return x
         else:
-            def hop(x, g):
-                return spmm(g, x, impl=impl)
+            dev_args = None
 
-            def final_hop(x):
-                return spmm(final, x, impl=impl)
-
-        def khop(x):
-            for _ in range(degree - (1 if final is not None else 0)):
-                x = hop(x, graph)
-            if final is not None:
-                x = final_hop(x)
-            return x
+            def khop(x, args):
+                del args
+                for _ in range(n_main):
+                    x = spmm(graph, x, impl=impl)
+                if final is not None:
+                    x = spmm(final, x, impl=impl)
+                return x
 
         khop_j = jax.jit(khop)
-        khop_j.lower(features).compile()
+        khop_j.lower(features, dev_args).compile()
         t = perf_counter()
-        out = khop_j(features)
+        out = khop_j(features, dev_args)
         sync(out)
         return out, perf_counter() - t
 

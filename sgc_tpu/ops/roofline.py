@@ -47,7 +47,11 @@ def dense_term_cost(split, n_features: int, feature_tile: int | None = None,
     R, W = split.row_block, split.stripe
     n_cells = int(split.cells.shape[0])       # padded count: what executes
     if feature_tile is None:                  # kernel's single-tile default
-        feature_tile = (min(-(-max(n_features, 128) // 128) * 128, 1024)
+        from sgc_tpu.ops.spmm_blockdense import default_feature_tile
+
+        # the KERNEL's own tile selection — cost model and kernel must
+        # agree, so never re-derive the formula here
+        feature_tile = (default_feature_tile(n_features)
                         if form == "pallas" else 256)
     ft = min(feature_tile, max(int(n_features), 128))
     f_pad = n_features + ((-n_features) % ft)
@@ -103,6 +107,10 @@ def roofline_report(split, n_features: int, dense_s: float, rest_s: float,
     dense_net = max(dense_s - dispatch_s, 1e-9)
     rest_net = max(rest_s - dispatch_s, 1e-9)
     no_dense = split.n_cells == 0 or dense_s <= dispatch_s
+    # symmetric guard: with no remainder (or an unmeasured one),
+    # remainder_cost's output-write term over the 1e-9 clamp would
+    # report ~1e8 GB/s garbage (round-4 review finding)
+    no_rest = nnz_rest == 0 or rest_s <= dispatch_s
     out = {
         "form": form,
         "dispatch_s": round(dispatch_s, 4),
@@ -123,11 +131,12 @@ def roofline_report(split, n_features: int, dense_s: float, rest_s: float,
         "remainder": {
             "seconds": round(rest_s, 4),
             "edges": r["edges"],
-            "bytes": r["bytes"],
-            "achieved_gbps": round(r["bytes"] / rest_net / 1e9, 1),
-            "hbm_frac": round(r["bytes"] / rest_net / 1e9
-                              / peaks["hbm_gbps"], 3),
-            "edges_per_s": int(r["edges"] / rest_net) if r["edges"] else 0,
+            "bytes": r["bytes"] if nnz_rest else 0.0,
+            "achieved_gbps": 0.0 if no_rest else round(
+                r["bytes"] / rest_net / 1e9, 1),
+            "hbm_frac": 0.0 if no_rest else round(
+                r["bytes"] / rest_net / 1e9 / peaks["hbm_gbps"], 3),
+            "edges_per_s": 0 if no_rest else int(r["edges"] / rest_net),
         },
         "peaks": peaks,
     }

@@ -517,6 +517,26 @@ def _split_cached(graph: SparseGraph, n_features: int, row_block: int,
     return split
 
 
+# Device-args cache beside the split cache: without it every drop-in
+# call rebuilt them via jnp.asarray, RE-UPLOADING the multi-GB bf16
+# cell buffer per hop over a tunneled backend (round-4 review finding;
+# CLAUDE.md: device_put once, pass as jit arguments).
+_ARGS_CACHE: dict = {}
+
+
+def _device_args_cached(split: BlockDenseSplit):
+    key = id(split)
+    hit = _ARGS_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    args = blockdense_device_args(split)
+    if len(_ARGS_CACHE) >= _SPLIT_CACHE_MAX:
+        _ARGS_CACHE.pop(next(iter(_ARGS_CACHE)))
+    # pin the split so its id cannot be recycled while cached
+    _ARGS_CACHE[key] = (split, args)
+    return args
+
+
 def spmm_blockdense(
     graph: SparseGraph,
     x: jnp.ndarray,
@@ -530,4 +550,5 @@ def spmm_blockdense(
     LocalityPlan/spmm_block_dense with prebuilt splits for traced code.
     """
     split = _split_cached(graph, int(x.shape[1]), row_block, stripe)
-    return spmm_block_dense(split, x, precision=precision)
+    return spmm_block_dense(split, x, args=_device_args_cached(split),
+                            precision=precision)

@@ -122,10 +122,18 @@ class InferenceEngine:
 
         self._scales = None
         # true (unpadded) node count — id-range validation must reject
-        # ids that fall in the zero-pad rows added for sharding
-        self._n_nodes = (int(features.shape[0]) if features is not None
-                         else int(raw_features.shape[0])
-                         if raw_features is not None else 0)
+        # ids that fall in the zero-pad rows added for sharding, and in
+        # inductive mode also ids beyond the GRAPH's rows (XLA clamps
+        # the row_ptr gather, which would silently sample the LAST
+        # node's neighborhood — the confidently-wrong-row hazard)
+        if features is not None:
+            self._n_nodes = int(features.shape[0])
+        elif raw_features is not None:
+            self._n_nodes = int(raw_features.shape[0])
+            if graph is not None:
+                self._n_nodes = min(self._n_nodes, int(graph.n_rows))
+        else:
+            self._n_nodes = 0
         from sgc_tpu.parallel.staging import is_provider
 
         if is_provider(features):

@@ -197,6 +197,17 @@ def _lbfgs_linear_fit(
         logits = sgc_apply(p, train_features)
         l2 = 0.5 * weight_decay * jnp.sum(p.w**2)
         if binary:
+            if weighted:
+                # per-sample weights from the class of each label —
+                # same weighted-mean definition as the multiclass
+                # branch and the newton trainer (which this function
+                # is the parity oracle for)
+                lg = logits.squeeze()
+                y = train_labels.astype(lg.dtype)
+                ll = (jnp.maximum(lg, 0) - lg * y
+                      + jnp.log1p(jnp.exp(-jnp.abs(lg))))
+                sw = class_weights[train_labels]
+                return jnp.sum(sw * ll) / jnp.sum(sw) + l2
             return binary_cross_entropy(logits, train_labels) + l2
         cw = class_weights if weighted else None
         return cross_entropy(logits, train_labels, cw) + l2

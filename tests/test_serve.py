@@ -335,3 +335,28 @@ class TestStagedStore:
                                 shard_store=True, warmup=False))
         with pytest.raises(ValueError, match="out of range"):
             eng.predict_logits([feats.shape[0]])
+
+
+def test_inductive_ids_beyond_graph_rejected(trained):
+    """inductive mode: ids valid for the feature table but beyond
+    graph.n_rows must raise (XLA would clamp the row_ptr gather and
+    silently sample the LAST node's neighborhood)."""
+    import scipy.sparse as sp
+
+    from sgc_tpu.graph.normalize import aug_normalized_adjacency
+    from sgc_tpu.graph.sparse import SparseGraph
+
+    params, feats, _ = trained
+    n_graph = feats.shape[0] - 10          # graph smaller than features
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, n_graph, 200)
+    c = rng.integers(0, n_graph, 200)
+    adj = sp.coo_matrix((np.ones(200, np.float32), (r, c)),
+                        shape=(n_graph, n_graph))
+    graph = SparseGraph.from_scipy(aug_normalized_adjacency(adj + adj.T))
+    eng = InferenceEngine(
+        params, graph=graph, raw_features=feats,
+        config=EngineConfig(min_batch=4, max_batch=16, warmup=False))
+    assert eng.predict_logits([0, 1]).shape == (2, params.w.shape[1])
+    with pytest.raises(ValueError, match="out of range"):
+        eng.predict_logits([n_graph])      # valid feature row, no graph row

@@ -200,3 +200,25 @@ def test_spmm_dispatcher_blockdense_impl():
     np.testing.assert_array_equal(a, b)
     want = graph.to_scipy().tocsr() @ x
     np.testing.assert_allclose(a, want, rtol=BF16_RTOL, atol=BF16_ATOL)
+
+
+def test_sgc_precompute_blockdense_impl():
+    """impl='blockdense' through sgc_precompute (crashed with a tracer
+    TypeError before round 4's review fix): must match the segment
+    propagation to bf16-cell tolerance, with and without out_rows."""
+    import numpy as np
+
+    from sgc_tpu.ops.propagate import sgc_precompute
+
+    graph, x = _clustered(seed=4, n_clusters=2, per=128)
+    ref, _ = sgc_precompute(x, graph, 2, impl="segment")
+    got, _ = sgc_precompute(x, graph, 2, impl="blockdense")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    rows = np.arange(0, 256, 3)
+    ref_r, _ = sgc_precompute(x, graph, 2, impl="segment", out_rows=rows)
+    got_r, _ = sgc_precompute(x, graph, 2, impl="blockdense",
+                              out_rows=rows)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
+                               rtol=2e-2, atol=2e-2)
