@@ -67,8 +67,9 @@ def _propagate_final_subset(
 # row_subgraph build is host-side O(E); K-hop/tuning workflows call
 # sgc_precompute repeatedly with the same (graph, out_rows) — cache the
 # operator like spmm_pallas caches tilings.
-_SUBGRAPH_CACHE: dict = {}
-_SUBGRAPH_CACHE_MAX = 8
+from sgc_tpu.utils.buildcache import HostBuildCache
+
+_SUBGRAPH_CACHE = HostBuildCache(8)
 
 
 def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
@@ -77,17 +78,10 @@ def _row_subgraph_cached(graph: SparseGraph, out_rows: np.ndarray):
     # buffers with different weights); out_rows enters the key as its
     # BYTES, not a 64-bit hash — a hash collision would silently return
     # the wrong cached operator
-    key = (id(graph.rows), id(graph.cols), id(graph.vals), graph.nnz,
-           graph.n_rows, graph.n_cols, out_rows.tobytes())
-    hit = _SUBGRAPH_CACHE.get(key)
-    if hit is not None:
-        return hit[-1]
-    sub = graph.row_subgraph(out_rows)
-    if len(_SUBGRAPH_CACHE) >= _SUBGRAPH_CACHE_MAX:
-        _SUBGRAPH_CACHE.pop(next(iter(_SUBGRAPH_CACHE)))
-    # pin source buffers so their ids cannot be recycled while cached
-    _SUBGRAPH_CACHE[key] = (graph.rows, graph.cols, graph.vals, sub)
-    return sub
+    return _SUBGRAPH_CACHE.get(
+        (graph.rows, graph.cols, graph.vals),
+        (graph.nnz, graph.n_rows, graph.n_cols, out_rows.tobytes()),
+        lambda: graph.row_subgraph(out_rows))
 
 
 def sgc_precompute(

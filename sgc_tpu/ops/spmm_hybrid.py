@@ -240,26 +240,20 @@ def hybrid_bind(split: HybridSplit, args: tuple) -> HybridSplit:
 
 # The split is O(E) host work; K-hop loops and repeated training calls
 # must not re-split. Same keying discipline as spmm_pallas._tile_cached.
-_SPLIT_CACHE: dict = {}
-_SPLIT_CACHE_MAX = 8
+from sgc_tpu.utils.buildcache import HostBuildCache
+
+_SPLIT_CACHE = HostBuildCache(8)
 
 
 def _split_cached(
     graph: SparseGraph, n_features: int, row_block: int, stripe: int,
     chunk: int, min_fill: float | None,
 ) -> HybridSplit:
-    key = (id(graph.rows), id(graph.cols), id(graph.vals), graph.nnz,
-           n_features, row_block, stripe, chunk, min_fill)
-    hit = _SPLIT_CACHE.get(key)
-    if hit is not None:
-        return hit[-1]
-    split = split_dense_cells(
-        graph, n_features, row_block, stripe, chunk, min_fill)
-    if len(_SPLIT_CACHE) >= _SPLIT_CACHE_MAX:
-        _SPLIT_CACHE.pop(next(iter(_SPLIT_CACHE)))
-    # pin source buffers so their ids cannot be recycled while cached
-    _SPLIT_CACHE[key] = (graph.rows, graph.cols, graph.vals, split)
-    return split
+    return _SPLIT_CACHE.get(
+        (graph.rows, graph.cols, graph.vals),
+        (graph.nnz, n_features, row_block, stripe, chunk, min_fill),
+        lambda: split_dense_cells(
+            graph, n_features, row_block, stripe, chunk, min_fill))
 
 
 def spmm_hybrid(

@@ -669,22 +669,16 @@ def spmm_pallas(
 
 # Host-side tiling is O(E log E); a K-hop loop must not re-tile per hop.
 # Keyed on the edge-array buffer identity + tile params; bounded size.
-_TILE_CACHE: dict = {}
-_TILE_CACHE_MAX = 8
+from sgc_tpu.utils.buildcache import HostBuildCache
+
+_TILE_CACHE = HostBuildCache(8)
 
 
 def _tile_cached(graph: SparseGraph, row_block, stripe, chunk) -> TiledGraph:
-    key = (id(graph.rows), id(graph.cols), id(graph.vals),
-           graph.nnz, row_block, stripe, chunk)
-    hit = _TILE_CACHE.get(key)
-    if hit is not None:
-        return hit[-1]
-    tiled = tile_graph(graph, row_block, stripe, chunk)
-    if len(_TILE_CACHE) >= _TILE_CACHE_MAX:
-        _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
-    # pin the source arrays so their ids cannot be recycled while cached
-    _TILE_CACHE[key] = (graph.rows, graph.cols, graph.vals, tiled)
-    return tiled
+    return _TILE_CACHE.get(
+        (graph.rows, graph.cols, graph.vals),
+        (graph.nnz, row_block, stripe, chunk),
+        lambda: tile_graph(graph, row_block, stripe, chunk))
 
 
 # ---------------------------------------------------------------------------

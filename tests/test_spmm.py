@@ -256,3 +256,30 @@ def test_sddmm_preserves_zero_weight_true_edges():
     g2 = g.with_vals(jax.numpy.asarray(out))
     out2 = np.asarray(sddmm(g2, a, b))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_host_build_cache_semantics():
+    """HostBuildCache (the shared pin-and-evict memo): identity keying,
+    pinning, eviction, and no cross-key aliasing."""
+    import numpy as np
+
+    from sgc_tpu.utils.buildcache import HostBuildCache
+
+    c = HostBuildCache(2)
+    a = np.arange(4)
+    calls = []
+
+    def build(tag):
+        calls.append(tag)
+        return tag
+
+    assert c.get((a,), (1,), lambda: build("x")) == "x"
+    assert c.get((a,), (1,), lambda: build("never")) == "x"  # hit
+    assert calls == ["x"]
+    # different extra -> different entry
+    assert c.get((a,), (2,), lambda: build("y")) == "y"
+    # eviction at cap (FIFO): third distinct key drops the first
+    b = np.arange(4)
+    assert c.get((b,), (1,), lambda: build("z")) == "z"
+    assert len(c) == 2
+    assert c.get((a,), (1,), lambda: build("x2")) == "x2"  # was evicted

@@ -155,15 +155,15 @@ def test_tile_cache_reused():
     x = jnp.asarray(
         np.random.default_rng(14).standard_normal((96, 8), dtype=np.float32)
     )
-    mod._TILE_CACHE.clear()
+    mod._TILE_CACHE._store.clear()
     mod.spmm_pallas(graph, x, row_block=32, stripe=32, chunk=16,
                     interpret=True)
     assert len(mod._TILE_CACHE) == 1
-    entry = next(iter(mod._TILE_CACHE.values()))
+    entry = next(iter(mod._TILE_CACHE._store.values()))[1]
     mod.spmm_pallas(graph, x, row_block=32, stripe=32, chunk=16,
                     interpret=True)
     assert len(mod._TILE_CACHE) == 1
-    assert next(iter(mod._TILE_CACHE.values())) is entry
+    assert next(iter(mod._TILE_CACHE._store.values()))[1] is entry
 
 
 def test_spmm_pallas_f32_tight_parity():
