@@ -130,11 +130,19 @@ class LocalityPlan:
         # fault-wall guard (DESIGN §2e): on a fragmented machine,
         # first-touch faults run 27x slow for EVERY fresh allocation
         # below — probe, and trigger kernel compaction if degraded
-        from sgc_tpu.utils.alloc import ensure_fault_rate
+        from sgc_tpu.utils.alloc import ensure_fault_rate, mem_counters
 
         probe = ensure_fault_rate()
         t["fault_mrate_before"] = probe["rate_before"]
         t["fault_mrate_after"] = probe["rate_after"]
+        # per-stage GROUND-TRUTH attribution: the 256 MB probe above is
+        # size-dependent and can read healthy while a multi-GB stage
+        # pays the wall (VERDICT round-4 #2) — record each stage's
+        # actual minor-fault delta and RSS so a slow stage is
+        # explainable from the JSON: stage wall ≈ minflt_m x us/fault
+        # when fault-bound, and ≈ flat minflt when compute-bound.
+        c0 = mem_counters()
+        t["rss0_gb"] = round(c0["rss_gb"], 2)
         # (Measured and REJECTED: prewarming the split's cell buffer in
         # a background thread during ordering — the overlap hypothesis
         # fails on this 4-core box, fault handling starves the order
@@ -145,10 +153,14 @@ class LocalityPlan:
             graph, ordering, features, labels, idx_train)
         t["order_s"] = time.perf_counter() - t0
         t["apply_s"] = 0.0  # folded into order_s by the shared helper
+        c1 = mem_counters()
+        t["order_minflt_m"] = round(c1["minflt_m"] - c0["minflt_m"], 2)
 
         t0 = time.perf_counter()
         graph_final = graph_p.row_subgraph(idx_p)
         t["subgraph_s"] = time.perf_counter() - t0
+        c2 = mem_counters()
+        t["subgraph_minflt_m"] = round(c2["minflt_m"] - c1["minflt_m"], 2)
 
         t0 = time.perf_counter()
         nf = int(features_p.shape[1])
@@ -173,6 +185,9 @@ class LocalityPlan:
             split_final = split_dense_cells(
                 graph_final, nf, row_block, stripe, min_fill=min_fill)
         t["split_s"] = time.perf_counter() - t0
+        c3 = mem_counters()
+        t["split_minflt_m"] = round(c3["minflt_m"] - c2["minflt_m"], 2)
+        t["split_rss_gb"] = round(c3["rss_gb"], 2)
 
         return cls(
             graph=graph_p, graph_final=graph_final, features=features_p,

@@ -73,9 +73,14 @@ def test_fault_rate_probe_and_ensure():
 
     r = alloc.fault_rate_probe(16 << 20)
     assert r > 0
-    # probe-only path must never write to /proc (env gate)
+    # probe-only path must never write to /proc (env gate). Reset the
+    # module probe cache: earlier suite tests (fit_sharded/staging) may
+    # have left a recent probe — the RATE may be reused but the verdict
+    # must be recomputed against THIS call's args (round-4 advisor).
     import os
 
+    alloc._LAST_PROBE = None
+    alloc._COMPACT_TS = 0.0
     os.environ["SGC_TPU_NO_COMPACT"] = "1"
     try:
         out = alloc.ensure_fault_rate(min_mfaults=1e9)  # force "degraded"
@@ -83,3 +88,44 @@ def test_fault_rate_probe_and_ensure():
         assert out["rate_before"] == out["rate_after"] > 0
     finally:
         del os.environ["SGC_TPU_NO_COMPACT"]
+
+
+def test_ensure_fault_rate_cached_verdict_honors_caller_args():
+    """A cached probe must never leak the PREVIOUS caller's verdict:
+    with a fresh rate cached, a NO_COMPACT caller and a healthy-threshold
+    caller must both get compacted=False even if an earlier call (other
+    args) compacted (round-4 advisor, order-dependent full-suite fail)."""
+    import os
+
+    import sgc_tpu.utils.alloc as alloc
+
+    alloc._LAST_PROBE = None
+    alloc._COMPACT_TS = 0.0
+    first = alloc.ensure_fault_rate(min_mfaults=0.0)   # always healthy
+    assert first["compacted"] is False
+    # cached rate is reused, but each call's gate is its own
+    os.environ["SGC_TPU_NO_COMPACT"] = "1"
+    try:
+        again = alloc.ensure_fault_rate(min_mfaults=1e9)
+        assert again["compacted"] is False
+        assert again["rate_before"] == first["rate_before"]
+    finally:
+        del os.environ["SGC_TPU_NO_COMPACT"]
+
+
+def test_mem_counters_deltas_attribute_fresh_faults():
+    """mem_counters minflt deltas must see a fresh multi-MB first-touch
+    (the per-stage attribution mechanism for host prep; VERDICT r4 #2)."""
+    import sgc_tpu.utils.alloc as alloc
+
+    before = alloc.mem_counters()
+    assert before["rss_gb"] > 0          # /proc parsed
+    nbytes = 64 << 20                    # 64 MB = 16384 pages
+    a = np.empty(nbytes, np.uint8)
+    a[::4096] = 1                        # touch every page
+    after = alloc.mem_counters()
+    d_m = after["minflt_m"] - before["minflt_m"]
+    # >= half the touched pages must show as minor faults (THP merges
+    # some 4 KiB faults into 2 MiB ones, so allow slack)
+    assert d_m * 1e6 >= (nbytes / 4096) / 512 - 64, d_m
+    del a
