@@ -514,13 +514,24 @@ def _split_cached(graph: SparseGraph, n_features: int, row_block: int,
 # Device-args cache beside the split cache: without it every drop-in
 # call rebuilt them via jnp.asarray, RE-UPLOADING the multi-GB bf16
 # cell buffer per hop over a tunneled backend (round-4 review finding;
-# CLAUDE.md: device_put once, pass as jit arguments).
-_ARGS_CACHE = HostBuildCache(4)
+# CLAUDE.md: device_put once, pass as jit arguments). Capped at 2
+# entries: each pins a device-RESIDENT multi-GB cell buffer, and on a
+# 16 GB v5e holding 4 stale splits' HBM is a real budget risk (round-4
+# advisor) — 2 covers the K-hop main+final pair; swapped-out graphs'
+# buffers free on FIFO eviction, or explicitly via
+# :func:`clear_device_args_cache`.
+_ARGS_CACHE = HostBuildCache(2)
 
 
 def _device_args_cached(split: BlockDenseSplit):
     return _ARGS_CACHE.get(
         (split,), (), lambda: blockdense_device_args(split))
+
+
+def clear_device_args_cache() -> None:
+    """Free the cached device-resident cell buffers (HBM) now instead of
+    waiting for FIFO eviction — call when the graph working set changes."""
+    _ARGS_CACHE.clear()
 
 
 def spmm_blockdense(

@@ -570,11 +570,25 @@ def scalar_prefetch_compiles() -> bool:
         if cache and os.environ.get("SGC_TPU_REPROBE") != "1":
             try:
                 import json
+                import time
 
                 with open(cache) as fh:
-                    _SCALAR_PREFETCH_COMPILES = bool(
-                        json.load(fh)["compiles"])
-                return _SCALAR_PREFETCH_COMPILES
+                    blob = json.load(fh)
+                verdict = bool(blob["compiles"])
+                # a cached FALSE expires (default 1 h): a transient
+                # failure (wedged tunnel, OOM) is indistinguishable from
+                # a genuine Mosaic rejection at probe time, and the
+                # backend has healed mid-round before — a pinned False
+                # would silently lock every future process onto the
+                # slower path (round-4 advisor). TRUE never expires
+                # (a backend losing a capability is the rare direction,
+                # and the kernel itself would fail loudly).
+                ttl = float(os.environ.get(
+                    "SGC_TPU_PROBE_FALSE_TTL_S", "3600"))
+                age = time.time() - float(blob.get("ts", 0.0))
+                if verdict or age < ttl:
+                    _SCALAR_PREFETCH_COMPILES = verdict
+                    return _SCALAR_PREFETCH_COMPILES
             except (OSError, ValueError, KeyError):
                 pass
         nb, b, f = 8, 8, 128
@@ -606,11 +620,13 @@ def scalar_prefetch_compiles() -> bool:
         if cache:
             try:
                 import json
+                import time
 
                 os.makedirs(os.path.dirname(cache), exist_ok=True)
                 tmp = cache + ".tmp"
                 with open(tmp, "w") as fh:
-                    json.dump({"compiles": _SCALAR_PREFETCH_COMPILES}, fh)
+                    json.dump({"compiles": _SCALAR_PREFETCH_COMPILES,
+                               "ts": time.time()}, fh)
                 os.replace(tmp, cache)
             except OSError:
                 pass

@@ -37,14 +37,22 @@ def make_handler(engine: InferenceEngine):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {
-                    "status": "ok",
-                    "mode": engine._mode,
-                    "requests": engine.stats.requests,
-                    "mean_latency_ms": round(engine.stats.mean_latency_ms, 3),
-                    "p50_ms": round(engine.stats.percentile_ms(50), 3),
-                    "p99_ms": round(engine.stats.percentile_ms(99), 3),
-                })
+                # same lock as the predict paths: percentile_ms iterates
+                # the latency deque, and np.asarray over a deque being
+                # appended to by a concurrent predict thread raises
+                # RuntimeError — an intermittent 500 on the health check
+                # (round-4 advisor)
+                with lock:
+                    payload = {
+                        "status": "ok",
+                        "mode": engine._mode,
+                        "requests": engine.stats.requests,
+                        "mean_latency_ms": round(
+                            engine.stats.mean_latency_ms, 3),
+                        "p50_ms": round(engine.stats.percentile_ms(50), 3),
+                        "p99_ms": round(engine.stats.percentile_ms(99), 3),
+                    }
+                self._send(200, payload)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -47,3 +47,9 @@ class HostBuildCache:
 
     def __len__(self) -> int:
         return len(self._store)
+
+    def clear(self) -> None:
+        """Drop every entry (and the pins keeping sources alive) — for
+        callers that know the working set changed, e.g. evicting stale
+        device-resident cell buffers when graphs are swapped."""
+        self._store.clear()
