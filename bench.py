@@ -408,16 +408,45 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
                 pred = jnp.argmax(sgc_apply(p, tr), axis=1)
                 return float((pred == labels_train).mean())
 
-            p_n, loss_n = _newton_linear_fit(
-                params0, tr, labels_train, wd, cw, 8, False, False)
-            p_l, loss_l = _lbfgs_linear_fit(
-                params0, tr, labels_train, wd, cw, 2, False, False, 1.0)
+            # REAL gate (VERDICT round-4 #3): the synthetic labels are
+            # planted (community -> class, data/synthetic.py), so a
+            # working trainer lands far above chance — parity_ok demands
+            # both trainers >= 5x chance, accuracies within 2pp, and
+            # losses within 15% relative. The untimed parity fits use a
+            # wd floor of 1e-5: at sub-scale smoke runs the planted
+            # problem is linearly separable and the wd=0 optimum sits at
+            # infinity, where "parity" is ill-defined. If the headline
+            # iteration budgets (newton 8 / lbfgs 2) disagree, a
+            # converged retry (32 / 16) decides — parity is a statement
+            # about the shared optimum, not the step count.
+            wd_p = jnp.maximum(wd, 1e-5)
+            chance = 1.0 / float(labels_train.max() + 1)
+            converged_retry = False
+            for steps_n, ep_l in ((8, 2), (32, 16)):
+                p_n, loss_n = _newton_linear_fit(
+                    params0, tr, labels_train, wd_p, cw, steps_n, False,
+                    False)
+                p_l, loss_l = _lbfgs_linear_fit(
+                    params0, tr, labels_train, wd_p, cw, ep_l, False,
+                    False, 1.0)
+                acc_n, acc_l = acc_of(p_n), acc_of(p_l)
+                parity_ok = bool(
+                    acc_n >= 5 * chance and acc_l >= 5 * chance
+                    and abs(acc_n - acc_l) <= 0.02
+                    and abs(float(loss_n) - float(loss_l))
+                    <= 0.15 * max(float(loss_n), float(loss_l), 0.1))
+                if parity_ok:
+                    break
+                converged_retry = True
             train_parity = {
                 "trainer": trainer,
                 "newton_loss": round(float(loss_n), 5),
                 "lbfgs_loss": round(float(loss_l), 5),
-                "newton_train_acc": round(acc_of(p_n), 4),
-                "lbfgs_train_acc": round(acc_of(p_l), 4),
+                "newton_train_acc": round(acc_n, 4),
+                "lbfgs_train_acc": round(acc_l, 4),
+                "chance_acc": round(chance, 4),
+                "parity_ok": parity_ok,
+                "converged_retry": converged_retry,
             }
             log(f"train parity: {train_parity}")
         except Exception as exc:
@@ -475,7 +504,8 @@ def compact_summary(out: dict, details_path: str) -> dict:
         c["train_parity"] = {
             k: tp[k]
             for k in ("trainer", "newton_loss", "lbfgs_loss",
-                      "newton_train_acc", "lbfgs_train_acc", "chance_acc")
+                      "newton_train_acc", "lbfgs_train_acc", "chance_acc",
+                      "parity_ok", "converged_retry")
             if k in tp
         }
     if isinstance(out.get("data"), str):

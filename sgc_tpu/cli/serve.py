@@ -36,7 +36,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _bench_variant(name: str, engine, batches, reps: int) -> list[dict]:
+def _bench_variant(name: str, engine, batches, reps: int,
+                   pipeline_depth: int = 2) -> list[dict]:
     rng = np.random.default_rng(0)
     n_nodes = engine._n_nodes          # true rows (excludes shard pads)
     out = []
@@ -46,7 +47,7 @@ def _bench_variant(name: str, engine, batches, reps: int) -> list[dict]:
 
         engine.stats = Stats()
         ids_list = [rng.integers(0, n_nodes, size=b) for _ in range(reps)]
-        engine.predict_logits(ids_list[0])      # warm this bucket's program
+        first = engine.predict_logits(ids_list[0])  # warm bucket program
         engine.stats = Stats()
         t0 = time.perf_counter()
         for ids in ids_list:
@@ -62,8 +63,32 @@ def _bench_variant(name: str, engine, batches, reps: int) -> list[dict]:
             "mean_ms": round(s.mean_latency_ms, 2),
             "rows_per_s": int(s.rows / wall),
         }
+
+        # pipelined pass over the SAME batches (VERDICT round-4 #5):
+        # depth in-flight dispatches overlap the per-round-trip floor;
+        # outputs must match the blocking path bitwise (same programs,
+        # same inputs — only the scheduling differs). Inductive mode is
+        # excluded from the equality check (its PRNG key advances per
+        # call, so replaying the ids is a different sample by design).
+        engine.stats = Stats()
+        t0 = time.perf_counter()
+        outs = list(engine.predict_logits_stream(
+            ids_list, depth=pipeline_depth))
+        pwall = time.perf_counter() - t0
+        ps = engine.stats
+        row.update({
+            "pipeline_depth": pipeline_depth,
+            "rows_per_s_pipelined": int(ps.rows / pwall),
+            "p50_ms_pipelined": round(ps.percentile_ms(50), 2),
+            "p99_ms_pipelined": round(ps.percentile_ms(99), 2),
+        })
+        if engine._mode == "transductive":
+            row["pipelined_bitwise_equal"] = bool(
+                np.array_equal(outs[0], first))
         log(f"  {name} batch={b}: p50 {row['p50_ms']}ms "
-            f"p99 {row['p99_ms']}ms  {row['rows_per_s']} rows/s")
+            f"p99 {row['p99_ms']}ms  {row['rows_per_s']} rows/s | "
+            f"pipelined {row['rows_per_s_pipelined']} rows/s "
+            f"(p50 {row['p50_ms_pipelined']}ms)")
         out.append(row)
     return out
 
@@ -131,17 +156,22 @@ def run_bench(a) -> None:
             )
             log(f"variant {name}: building engine...")
             engine = InferenceEngine(params, features=feats, config=cfg)
-        results.extend(_bench_variant(name, engine, batches, a.reps))
+        results.extend(_bench_variant(name, engine, batches, a.reps,
+                                      pipeline_depth=a.pipeline_depth))
         del engine
 
     big = max(r["rows_per_s"] for r in results
               if r["batch"] == max(batches))
+    big_p = max(r.get("rows_per_s_pipelined", 0) for r in results
+                if r["batch"] == max(batches))
     print(json.dumps({
         "metric": "serve_rows_per_s_max_batch",
         "value": big,
+        "value_pipelined": big_p,
         "unit": "rows/s",
         "backend": jax.default_backend(),
         "dispatch_floor_ms": round(floor * 1e3, 2),
+        "pipeline_depth": a.pipeline_depth,
         "store": {"nodes": n, "features": f, "classes": c},
         "results": results,
     }))
@@ -162,6 +192,9 @@ def main() -> None:
                    help="--bench engine variants (f32,int8,shard,inductive)")
     p.add_argument("--reps", type=int, default=30,
                    help="--bench requests per (variant, batch)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="--bench in-flight dispatches for the pipelined "
+                        "pass (predict_logits_stream)")
     a = p.parse_args()
 
     if a.bench:

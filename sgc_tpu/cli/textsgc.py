@@ -36,6 +36,7 @@ def run(
     class_weights: bool = False,
     feat_cache: str | None = None,
     impl: str = "auto",
+    trainer: str = "lbfgs",
 ) -> dict:
     cfg = cfg.resolve()
     key = set_seed(cfg.seed)
@@ -77,6 +78,10 @@ def run(
         counts = jnp.bincount(label_dict["train"], length=nclass)
         cw = counts.sum() / jnp.maximum(counts, 1) / nclass
 
+    # trainer="newton" runs the accelerated Böhning/MM head fit (the
+    # bench headline trainer) on the text path too; "lbfgs" stays the
+    # reference-parity default (train.py:59-73 closure semantics).
+    # COVID end-metric parity for both is recorded in RESULTS.md.
     params, train_time = train_linear(
         params,
         feat_dict["train"],
@@ -85,6 +90,7 @@ def run(
         epochs=cfg.epochs,
         binary=binary,
         class_weights=cw,
+        trainer=trainer,
     )
 
     res = {
@@ -125,6 +131,10 @@ def main() -> None:
                         help="S^{K-1} hop formulation for the structural "
                              "precompute (blockdense = locality cells + "
                              "segment remainder)")
+    parser.add_argument("--trainer", default="lbfgs",
+                        choices=["lbfgs", "newton"],
+                        help="head fit: torch-parity LBFGS (default) or "
+                             "the accelerated Newton/MM trainer")
     args = parser.parse_args()
 
     cfg = TextConfig(
@@ -144,6 +154,7 @@ def main() -> None:
         class_weights=args.class_weights,
         feat_cache=args.feat_cache,
         impl=args.impl,
+        trainer=args.trainer,
     )
     print(
         "Total Time: {:2f}s, Train acc: {:.4f}, Val acc: {:.4f}, "

@@ -71,6 +71,14 @@ def synthetic_reddit_clustered(
     kernel (ops/spmm_pallas.py) beats the XLA gather path at full scale;
     the inter-community tail stays uniformly sparse. Same return
     contract as :func:`synthetic_reddit`.
+
+    Labels are PLANTED (VERDICT round-4 #3): community id mapped onto
+    the 41 classes plus 10% uniform noise, with a class-mean component
+    added to the features — real Reddit's regime, where the 41 classes
+    ARE the subreddit communities. A trained head is therefore
+    measurably above chance (bench.py's ``train_parity`` block gates
+    newton-vs-LBFGS on accuracy parity well above chance instead of
+    comparing two chance-level fits; reference reddit.py:51-64).
     """
     import scipy.sparse as sp
 
@@ -108,7 +116,19 @@ def synthetic_reddit_clustered(
     dst = np.clip(np.concatenate([dst_in, dst_out]), 0, n - 1)
 
     features = rng.normal(size=(n, REDDIT_FEATURES)).astype(np.float32)
-    labels = rng.integers(0, REDDIT_CLASSES, n).astype(np.int32)
+    # planted, learnable labels: label = community % 41 with 10% noise,
+    # plus a class-mean feature offset. Propagation in this topology
+    # AVERAGES within communities (85% intra edges), so S^2 X carries
+    # the class signal to the head — the same mechanism that makes real
+    # Reddit 95 micro-F1 under SGC.
+    comm_of = np.minimum(np.arange(n) // comm_size, communities - 1)
+    labels = (comm_of % REDDIT_CLASSES).astype(np.int32)
+    flip = rng.random(n) < 0.1
+    labels[flip] = rng.integers(
+        0, REDDIT_CLASSES, int(flip.sum())).astype(np.int32)
+    class_means = (0.3 * rng.normal(size=(REDDIT_CLASSES, REDDIT_FEATURES))
+                   ).astype(np.float32)
+    features += class_means[labels]
     n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
     idx_train = np.arange(n_train)
 

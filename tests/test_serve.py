@@ -360,3 +360,59 @@ def test_inductive_ids_beyond_graph_rejected(trained):
     assert eng.predict_logits([0, 1]).shape == (2, params.w.shape[1])
     with pytest.raises(ValueError, match="out of range"):
         eng.predict_logits([n_graph])      # valid feature row, no graph row
+
+
+class TestPipelinedStream:
+    """predict_logits_stream: pipelined dispatch (VERDICT round-4 #5)."""
+
+    def _engine(self, trained, **cfg):
+        params, feats, _ = trained
+        return InferenceEngine(
+            params, features=feats,
+            config=EngineConfig(min_batch=4, max_batch=32, warmup=False,
+                                **cfg))
+
+    def test_stream_matches_blocking_bitwise(self, trained):
+        eng = self._engine(trained)
+        rng = np.random.default_rng(3)
+        batches = [rng.integers(0, 64, size=b)
+                   for b in (7, 32, 1, 16, 32, 5)]
+        blocking = [eng.predict_logits(b) for b in batches]
+        for depth in (1, 2, 4):
+            streamed = list(eng.predict_logits_stream(batches, depth=depth))
+            assert len(streamed) == len(blocking)
+            for got, want in zip(streamed, blocking):
+                np.testing.assert_array_equal(got, want)
+
+    def test_stream_handles_empty_and_orders_results(self, trained):
+        eng = self._engine(trained)
+        batches = [[1, 2, 3], [], [10]]
+        outs = list(eng.predict_logits_stream(batches, depth=2))
+        assert [o.shape[0] for o in outs] == [3, 0, 1]
+        np.testing.assert_array_equal(outs[2], eng.predict_logits([10]))
+
+    def test_stream_validates_like_blocking(self, trained):
+        eng = self._engine(trained)
+        with pytest.raises(ValueError, match="out of range"):
+            list(eng.predict_logits_stream([[0], [999]], depth=2))
+        with pytest.raises(ValueError, match="depth"):
+            list(eng.predict_logits_stream([[0]], depth=0))
+
+    def test_stream_observes_stats(self, trained):
+        eng = self._engine(trained)
+        from sgc_tpu.serve.engine import Stats
+
+        eng.stats = Stats()
+        list(eng.predict_logits_stream([[1, 2]] * 5, depth=2))
+        assert eng.stats.requests == 5 and eng.stats.rows == 10
+
+    def test_stream_shard_store(self, trained):
+        """The pipelined path composes with the sharded feature store."""
+        base = self._engine(trained)
+        sharded = self._engine(trained, shard_store=True)
+        batches = [[0, 5, 9], [63, 1]]
+        for got, want in zip(
+            sharded.predict_logits_stream(batches, depth=2),
+            base.predict_logits_stream(batches, depth=2),
+        ):
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
