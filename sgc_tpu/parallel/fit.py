@@ -152,6 +152,7 @@ def fit_sharded(
     checkpoint_dir: str | None = None,
     save_every: int = 25,
     edge_chunk: int | None = None,
+    col_chunk: int | None = None,
     trainer: str = "adam",
     newton_steps: int = 8,
 ):
@@ -254,11 +255,14 @@ def fit_sharded(
             want_halo = bool(use_halo)
             frac = None  # computed below once a plan exists
         if formulation == "auto":
-            # edge_chunk is the memory-bounded-hop request — only the
-            # segment formulation honors it (spmm_sharded rejects the
-            # combination explicitly), so auto must not pick blockdense
-            formulation = ("blockdense" if want_halo and not edge_chunk
-                           else "segment")
+            # edge_chunk/col_chunk are memory-bounded-hop requests —
+            # only the segment formulation honors them (spmm_sharded /
+            # propagate_sharded reject the combination explicitly), so
+            # auto must not pick blockdense
+            formulation = (
+                "blockdense"
+                if want_halo and not edge_chunk and not col_chunk
+                else "segment")
         if not want_halo:
             halo = None
             if frac is None:   # use_halo=False: nothing was measured
@@ -268,7 +272,14 @@ def fit_sharded(
         elif formulation == "blockdense":
             halo = sizing if sizing is not None else build_halo(pgraph)
         else:
-            halo = build_halo(pgraph, overlap=True)
+            # memory-bounded hops (edge_chunk/col_chunk) take the PLAIN
+            # exchange: the overlapped form materializes separate
+            # interior and boundary full-width accumulators (an extra
+            # ~2x row-block bytes per hop) and its overlap buys nothing
+            # once the scan serializes the chunks — measured 3x faster
+            # AND smaller on the beyond-device probe (DESIGN §staging)
+            halo = build_halo(
+                pgraph, overlap=not (edge_chunk or col_chunk))
         if frac is None:
             frac = halo_fraction(halo, pgraph)
 
@@ -299,9 +310,12 @@ def fit_sharded(
     # transients live at once) for no wall-clock win — the hops are
     # data-dependent. edge_chunk additionally bounds the per-hop
     # [E, F] contribution buffer for beyond-one-device graphs.
-    x = propagate_sharded(mesh, pgraph, x, degree, halo=halo,
+    # consume form ([x]): this frame must not keep the hop-0 input (at
+    # beyond-device scale, the multi-GiB staged store) alive through
+    # the later hops — propagate frees it as soon as hop 1 completes
+    x = propagate_sharded(mesh, pgraph, [x], degree, halo=halo,
                           blockdense=blockdense, edge_chunk=edge_chunk,
-                          sync_each_hop=True)
+                          col_chunk=col_chunk, sync_each_hop=True)
 
     from sgc_tpu.parallel.train import place_node_targets
 
@@ -355,7 +369,7 @@ def fit_sharded(
             "fit_sharded_v1", graph.nnz, graph.n_rows,
             int(np.shape(features)[1]), n_classes, degree, lr,
             weight_decay, seed, formulation, n_parts, n_feat_parts,
-            reorder, row_block, stripe, edge_chunk,
+            reorder, row_block, stripe, edge_chunk, col_chunk,
         )).encode()).hexdigest()[:16]
         ckpt = _FitCheckpointer(checkpoint_dir, fp)
         restored = ckpt.restore(state)

@@ -178,11 +178,59 @@ def spmm_sharded(
     return fn(pgraph.rows_local, pgraph.cols, pgraph.vals, x)
 
 
+def _spmm_col_paneled(mesh, pgraph, xbox, col_chunk, **kw):
+    """One sharded hop computed in feature-column panels of width
+    ``col_chunk`` — the second beyond-one-device memory control.
+
+    SpMM is exactly columnwise-independent, so each panel's reduction
+    is bit-identical to the same columns of the unpaneled hop. The
+    memory model (measured on the virtual mesh, DESIGN §staging): a
+    full-width hop transiently holds ~4x the feature bytes beyond its
+    input (scan carry double-buffer, per-step segment-sum outputs,
+    shard output copies) — panel-width-scaled here. The full-width
+    arrays alive at once are bounded at TWO: the input is consumed
+    (``xbox`` is a one-element list, emptied on entry, and the local
+    reference is dropped before assembly) and the output is a single
+    concatenate of the finished panels, so peak ≈
+    max(input + panels, panels + output) + 4x·(col_chunk/F).
+    Eager-only (panels are host-loop scheduled); requires an unsharded
+    feat axis (the beyond-device mesh is ("nodes", 1)).
+    """
+    if mesh.shape[FEAT_AXIS] != 1:
+        raise ValueError(
+            "col_chunk needs an unsharded 'feat' axis (panels would cut "
+            "across the feature sharding); use a ('nodes', 1) mesh")
+    x = xbox.pop()
+    f = int(x.shape[1])
+    spec = NamedSharding(mesh, P(NODES_AXIS, FEAT_AXIS))
+    cut = jax.jit(
+        lambda xx, c, w: jax.lax.dynamic_slice(
+            xx, (0, c), (xx.shape[0], w)),
+        static_argnums=(2,))
+    from sgc_tpu.utils.profiling import sync
+
+    panels = []
+    for c0 in range(0, f, col_chunk):
+        w = min(col_chunk, f - c0)
+        panel = spmm_sharded(mesh, pgraph, cut(x, c0, w), **kw)
+        # sequential panels: async dispatch would stack every panel's
+        # transients, defeating the paneling (same rationale as
+        # sync_each_hop below)
+        sync(panel)
+        panels.append(panel)
+    del x                      # input dead before the output assembles
+    out = jax.jit(
+        lambda *ps: jnp.concatenate(ps, axis=1), out_shardings=spec,
+    )(*panels)
+    sync(out)
+    return out
+
+
 def propagate_sharded(
     mesh, pgraph: PartitionedGraph, x: jnp.ndarray, degree: int, halo=None,
     blockdense=None, precision: str = "bf16", form: str = "scan",
     interpret: bool = False, edge_chunk: int | None = None,
-    sync_each_hop: bool = False,
+    sync_each_hop: bool = False, col_chunk: int | None = None,
 ) -> jnp.ndarray:
     """K sharded SpMM hops (x <- S @ x). Jit-compatible; degree is static.
 
@@ -195,13 +243,47 @@ def propagate_sharded(
     hops' transients live at once, which roughly doubles peak memory —
     measured 9.5 vs 4.8 GiB on the 600k x 512 beyond-device probe. The
     hops are sequential anyway, so the sync costs one dispatch latency
-    per hop. ``edge_chunk`` bounds per-hop transients (see
-    ``halo._chunked_segment_spmm``)."""
+    per hop. ``edge_chunk`` bounds the per-hop [E, F] contribution
+    transient (see ``halo._chunked_segment_spmm``); ``col_chunk``
+    additionally runs each hop in feature-column panels so the
+    remaining ~4x-feature-bytes hop transient scales with the panel
+    width (``_spmm_col_paneled`` — eager segment-formulation only,
+    bit-identical output).
+
+    ``x`` may be passed as a ONE-ELEMENT LIST ``[x]`` to transfer
+    ownership: the list is emptied immediately, so no caller frame
+    keeps the hop-0 input (e.g. an 18 GiB staged store) alive through
+    the later hops — a plain argument stays referenced by the caller's
+    local until the call returns, which costs a full extra feature
+    matrix at peak on beyond-one-device runs."""
+    if isinstance(x, list):
+        if len(x) != 1:
+            raise ValueError("consume form takes a one-element list [x]")
+        x = x.pop()              # caller's list no longer references it
+    if col_chunk is not None:
+        if blockdense is not None:
+            raise ValueError(
+                "col_chunk applies to the segment formulations (the "
+                "blockdense plan is built for a fixed feature width)")
+        if isinstance(x, jax.core.Tracer):
+            raise ValueError(
+                "col_chunk panels are host-scheduled — call eagerly, "
+                "not under jit")
     for _ in range(degree):
-        x = spmm_sharded(mesh, pgraph, x, halo=halo,
-                         blockdense=blockdense, precision=precision,
-                         form=form, interpret=interpret,
-                         edge_chunk=edge_chunk)
+        if col_chunk is not None and int(x.shape[1]) > col_chunk:
+            # box-consume per hop: no frame keeps hop k's input alive
+            # while hop k's output panels assemble
+            box = [x]
+            x = None
+            x = _spmm_col_paneled(
+                mesh, pgraph, box, col_chunk, halo=halo,
+                precision=precision, form=form, interpret=interpret,
+                edge_chunk=edge_chunk)
+        else:
+            x = spmm_sharded(mesh, pgraph, x, halo=halo,
+                             blockdense=blockdense, precision=precision,
+                             form=form, interpret=interpret,
+                             edge_chunk=edge_chunk)
         if sync_each_hop and not isinstance(x, jax.core.Tracer):
             # profiling.sync, not block_until_ready: the tunneled axon
             # backend's block_until_ready can return EARLY (CLAUDE.md),

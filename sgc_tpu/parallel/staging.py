@@ -141,7 +141,19 @@ def stage_rows(mesh, provider, n_rows_padded: int | None = None,
             out[:vr, :vc] = block[:, c0:c0 + vc]
         return out
 
-    return jax.make_array_from_callback(shape, sharding, _shard)
+    # place shard-by-shard (not make_array_from_callback, which holds
+    # every shard's host block until the whole array assembles — a
+    # ~1.5x-store transient measured on the beyond-device probe,
+    # DESIGN §staging): each host block is freed as soon as its device
+    # put lands, so peak host overhead is ONE shard block.
+    arrays = []
+    for d, index in sharding.addressable_devices_indices_map(shape).items():
+        block = _shard(index)
+        arrays.append(jax.device_put(block, d))
+        del block
+        arrays[-1].block_until_ready()
+    return jax.make_array_from_single_device_arrays(
+        shape, sharding, arrays)
 
 
 def sharding_report(x: jax.Array) -> dict:
