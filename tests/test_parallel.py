@@ -53,6 +53,60 @@ def test_propagate_sharded_two_hops():
     np.testing.assert_allclose(out[:90, :16], a @ (a @ x), rtol=1e-4, atol=1e-5)
 
 
+def test_propagate_col_chunk_bitwise_and_consume():
+    """col_chunk paneling is bit-identical (SpMM is columnwise-
+    independent) for even and uneven panel widths, with/without
+    edge_chunk and halo; the box-consume form ([x]) empties the list
+    (beyond-device memory controls, DESIGN §3b round 5)."""
+    from sgc_tpu.parallel.halo import build_halo
+
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(5)
+    a, g = _random_graph(128, seed=7)
+    pg = partition_graph(g, 8)
+    halo = build_halo(pg)
+    x = rng.normal(size=(128, 40)).astype(np.float32)
+    xs = shard_features(mesh, pad_node_rows(jnp.asarray(x),
+                                            pg.n_rows_padded))
+    for halo_arg in (None, halo):
+        for ec in (None, 128):
+            ref = np.asarray(propagate_sharded(
+                mesh, pg, xs, 2, halo=halo_arg, edge_chunk=ec))
+            for cc in (16, 13):
+                got = np.asarray(propagate_sharded(
+                    mesh, pg, xs, 2, halo=halo_arg, edge_chunk=ec,
+                    col_chunk=cc, sync_each_hop=True))
+                np.testing.assert_array_equal(got, ref)
+    # consume form: the one-element list is emptied on entry
+    box = [xs]
+    out = propagate_sharded(mesh, pg, box, 2, halo=halo, col_chunk=16)
+    assert box == []
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        np.asarray(propagate_sharded(mesh, pg, xs, 2, halo=halo,
+                                     col_chunk=16)))
+    with pytest.raises(ValueError, match="one-element"):
+        propagate_sharded(mesh, pg, [xs, xs], 1)
+
+
+def test_propagate_col_chunk_rejections():
+    """col_chunk composes only with the segment formulation, eagerly,
+    on an unsharded feat axis."""
+    mesh = make_mesh(4, 2)
+    _, g = _random_graph(64, seed=9)
+    pg = partition_graph(g, 4)
+    rng = np.random.default_rng(0)
+    xs = shard_features(mesh, pad_node_rows(
+        pad_feature_dim(jnp.asarray(
+            rng.normal(size=(64, 16)).astype(np.float32)), 16),
+        pg.n_rows_padded))
+    with pytest.raises(ValueError, match="feat"):
+        propagate_sharded(mesh, pg, xs, 1, col_chunk=8)
+    with pytest.raises(ValueError, match="jit"):
+        jax.jit(lambda v: propagate_sharded(
+            make_mesh(4, 2), pg, v, 1, col_chunk=8))(xs)
+
+
 def test_sharded_train_step_matches_single_device():
     """The 8-way sharded Adam step must match a replicated 1-device step."""
     rng = np.random.default_rng(2)
