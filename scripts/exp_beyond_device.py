@@ -158,17 +158,20 @@ def main(scale=1.0, epochs=5):
     t0 = time.perf_counter()
     if os.environ.get("SGC_BEYOND_TRACE_RSS"):
         start_rss_tracer(t0)
-    # memory controls (round-5 additions measured in DESIGN §staging):
+    # memory controls (round-5 additions measured in DESIGN §3b):
     # col_chunk runs each hop in feature-column panels (bounds the
     # ~4x-features hop transient at panel fraction), and fit_sharded's
     # consume form frees the staged store as soon as hop 1 completes.
     # Panels narrower than 128 lanes fall off the fast gather path
-    # (measured 6x slower at width 64), hence the floor.
-    col_chunk = max(f // 16, 128)
+    # (measured 6x slower at width 64), hence the floor. With panels
+    # this narrow the edge chunk can be LARGE (per-step transient is
+    # chunk x panel, not chunk x F) — fewer scan steps, faster wall.
+    col_chunk = max(f // 8, 128)
+    edge_chunk = 262_144
     params, report = fit_sharded(
         graph, prov, labels, idx_train, N_CLASSES,
         mesh=mesh, degree=2, epochs=epochs, lr=0.2, weight_decay=0.0,
-        formulation="segment", use_halo=True, edge_chunk=65_536,
+        formulation="segment", use_halo=True, edge_chunk=edge_chunk,
         col_chunk=col_chunk,
     )
     t_fit = time.perf_counter() - t0
@@ -193,7 +196,7 @@ def main(scale=1.0, epochs=5):
         "fit_s": round(t_fit, 1),
         "graph_build_s": round(t_graph, 1),
         "col_chunk": col_chunk,
-        "edge_chunk": 65_536,
+        "edge_chunk": edge_chunk,
         "peak_over_features": round(peak_rss_gib / (feat_bytes / 2**30), 2),
     }
     print(json.dumps(out))

@@ -310,10 +310,15 @@ def fit_sharded(
     # transients live at once) for no wall-clock win — the hops are
     # data-dependent. edge_chunk additionally bounds the per-hop
     # [E, F] contribution buffer for beyond-one-device graphs.
-    # consume form ([x]): this frame must not keep the hop-0 input (at
+    # consume form: this frame must not keep the hop-0 input (at
     # beyond-device scale, the multi-GiB staged store) alive through
-    # the later hops — propagate frees it as soon as hop 1 completes
-    x = propagate_sharded(mesh, pgraph, [x], degree, halo=halo,
+    # the later hops — the box is built FIRST and the local name
+    # deleted before the call (an inline ``[x]`` would leave this
+    # frame's ``x`` pinning the store until the call returns; measured
+    # as exactly +1x features at the full-scale peak)
+    xbox = [x]
+    del x
+    x = propagate_sharded(mesh, pgraph, xbox, degree, halo=halo,
                           blockdense=blockdense, edge_chunk=edge_chunk,
                           col_chunk=col_chunk, sync_each_hop=True)
 
