@@ -120,14 +120,20 @@ def synthetic_reddit_clustered(
     # plus a class-mean feature offset. Propagation in this topology
     # AVERAGES within communities (85% intra edges), so S^2 X carries
     # the class signal to the head — the same mechanism that makes real
-    # Reddit 95 micro-F1 under SGC.
+    # Reddit 95 micro-F1 under SGC. Drawn from a SEPARATE stream: extra
+    # draws on the main rng would shift the shuffle permutation below,
+    # changing the LPA recovery tie-breaks and with them the admitted
+    # dense fraction (measured 0.851 -> 0.704 — a 15pp headline
+    # regression from nothing but relabeling) and breaking cross-round
+    # comparability of every timing.
+    rng_y = np.random.default_rng(seed + 1_000_003)
     comm_of = np.minimum(np.arange(n) // comm_size, communities - 1)
     labels = (comm_of % REDDIT_CLASSES).astype(np.int32)
-    flip = rng.random(n) < 0.1
-    labels[flip] = rng.integers(
+    flip = rng_y.random(n) < 0.1
+    labels[flip] = rng_y.integers(
         0, REDDIT_CLASSES, int(flip.sum())).astype(np.int32)
-    class_means = (0.3 * rng.normal(size=(REDDIT_CLASSES, REDDIT_FEATURES))
-                   ).astype(np.float32)
+    class_means = (0.3 * rng_y.normal(
+        size=(REDDIT_CLASSES, REDDIT_FEATURES))).astype(np.float32)
     features += class_means[labels]
     n_train = min(max(int(REDDIT_TRAIN * scale), 256), n)
     idx_train = np.arange(n_train)

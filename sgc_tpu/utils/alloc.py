@@ -223,12 +223,19 @@ def prewarm_pool(sizes_bytes) -> float:
     import time
 
     t0 = time.perf_counter()
-    for nbytes in sizes_bytes:
-        nbytes = int(nbytes)
+    # hold every arena until ALL are allocated: releasing them one by
+    # one lets the next prewarm size REUSE the previous arena (the 2 GB
+    # request slices the just-freed 4 GB one) and the pool ends up one
+    # arena short — the real cell buffer then faults a fresh mmap
+    # inside the timed region, which is the exact cost prewarming
+    # exists to remove (measured as split_s 34 s on a degraded-state
+    # bench despite a 4 s prewarm).
+    held = []
+    for nbytes in sorted((int(b) for b in sizes_bytes), reverse=True):
         if nbytes < (64 << 20):
             continue
-        arr = zeros_hugepage(nbytes, np.uint8)
-        del arr  # weakref dies -> entry becomes a free pool arena
+        held.append(zeros_hugepage(nbytes, np.uint8))
+    del held     # weakrefs die -> entries become free pool arenas
     return time.perf_counter() - t0
 
 
