@@ -308,10 +308,16 @@ def run_clustered_hybrid(scale: float, data=None, name: str = "clustered") -> di
     # actually landed.
     from sgc_tpu.utils.alloc import prewarm_pool
 
-    n_nodes_frac = graph.n_rows / REDDIT_NODES
+    # arena sizes cover the MAIN and FINAL splits at the observed
+    # full-scale dense fractions (~2.7-3.0 GB and ~1.7-2.4 GB bf16)
+    # plus the reorder stage's permuted feature matrix (~0.6 GB): an
+    # arena smaller than any of those leaves that buffer faulting a
+    # fresh mmap inside the timed region (measured 14-21 s split_s
+    # from exactly that, 0.4-0.6M minor faults each time)
+    n_nodes_frac = min(graph.n_rows / REDDIT_NODES, 1.0)
     prewarm_s = prewarm_pool(
-        [int((4 << 30) * min(n_nodes_frac, 1.0)),
-         int((2 << 30) * min(n_nodes_frac, 1.0))])
+        [int(b * n_nodes_frac)
+         for b in ((4 << 30), (3 << 30), (700 << 20))])
     log(f"{name} pool prewarm: {prewarm_s:.1f}s")
     t0 = time.perf_counter()
     with sampler:
@@ -521,6 +527,10 @@ def compact_summary(out: dict, details_path: str) -> dict:
 
 def main() -> None:
     import jax
+
+    # pool cap above the three prewarmed arenas + slack (the default 8
+    # would evict the third arena on the next append)
+    os.environ.setdefault("SGC_TPU_ALLOC_POOL_GB", "10")
 
     # Persistent compilation cache: over the tunneled backend each
     # Reddit-scale program costs minutes to compile; caching makes repeat

@@ -253,11 +253,14 @@ def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
         return np.zeros(n_elems, dtype)
 
     # reuse: smallest free pooled buffer that fits. Entries within 2x of
-    # the request are preferred; failing that ANY larger free entry is
-    # sliced (np.frombuffer count=) — a 4 GB prewarmed arena serving a
-    # 2.7 GB cell buffer beats paying the fault wall for a fresh mmap
-    # (prewarm_pool + VERDICT round-4 #2). (_POOL_LOCK: concurrent
-    # callers race the same entries)
+    # the request are preferred; failing that a larger free entry up to
+    # 4x is sliced (np.frombuffer count=) — a 4 GB prewarmed arena
+    # serving a 2.7 GB cell buffer beats paying the fault wall for a
+    # fresh mmap (prewarm_pool + VERDICT round-4 #2). The 4x ceiling
+    # matters: unbounded slicing let a 0.56 GB reorder buffer steal a
+    # 3.2 GB cell arena, and the cell buffer it was prewarmed for then
+    # faulted fresh inside the timed split (traced on the degraded-state
+    # bench). (_POOL_LOCK: concurrent callers race the same entries)
     with _POOL_LOCK:
         best = loose = None
         for entry in _POOL:
@@ -265,7 +268,8 @@ def zeros_hugepage(n_elems: int, dtype) -> np.ndarray:
             if ref() is None and size >= nbytes:
                 if size <= 2 * nbytes and (best is None or size < best[1]):
                     best = entry
-                elif loose is None or size < loose[1]:
+                elif size <= 4 * nbytes and (
+                        loose is None or size < loose[1]):
                     loose = entry
         best = best or loose
         if best is not None:
