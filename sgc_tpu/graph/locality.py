@@ -132,7 +132,12 @@ class LocalityPlan:
         # below — probe, and trigger kernel compaction if degraded
         from sgc_tpu.utils.alloc import ensure_fault_rate, mem_counters
 
+        t0 = time.perf_counter()
         probe = ensure_fault_rate()
+        # the probe itself faults 256 MB and re-probes after compaction
+        # — in the degraded state that is seconds, and it must not read
+        # as unattributed build time (probe_s closes the stage-sum gap)
+        t["probe_s"] = time.perf_counter() - t0
         t["fault_mrate_before"] = probe["rate_before"]
         t["fault_mrate_after"] = probe["rate_after"]
         # per-stage GROUND-TRUTH attribution: the 256 MB probe above is

@@ -113,6 +113,45 @@ def test_ensure_fault_rate_cached_verdict_honors_caller_args():
         del os.environ["SGC_TPU_NO_COMPACT"]
 
 
+def test_prewarm_pool_distinct_arenas_and_reuse_caps():
+    """prewarm_pool must leave one FREE arena per requested size (an
+    early release let the next size slice the previous arena — the pool
+    then came up one arena short and the real cell buffer faulted fresh
+    inside the timed prep, round-5 bench trace), and loose reuse is
+    capped at 4x waste so a small buffer cannot steal a big arena."""
+    import sgc_tpu.utils.alloc as alloc
+
+    # isolate from buffers pooled by earlier tests
+    old_pool = alloc._POOL[:]
+    alloc._POOL.clear()
+    try:
+        alloc.prewarm_pool([256 << 20, 128 << 20, 1 << 20])  # 1MB skipped
+        free = sorted(e[1] for e in alloc._POOL if e[2]() is None)
+        assert free == [128 << 20, 256 << 20], free
+
+        # 72MB request: 128MB arena is within 2x -> reused
+        a = alloc.zeros_hugepage(72 << 20, np.uint8)
+        assert a.base is not None and len(a.base) == (128 << 20)
+        # 65MB request: only the 256MB arena is free, but 256/65 < 4 ->
+        # loose reuse takes it
+        b = alloc.zeros_hugepage(65 << 20, np.uint8)
+        assert len(b.base) == (256 << 20)
+        del a, b
+        # >4x waste is refused: with only a 300MB arena free, a 70MB
+        # request (300/70 = 4.3x) takes a FRESH mmap instead of
+        # stealing the arena prewarmed for a bigger buffer
+        alloc._POOL.clear()
+        alloc.prewarm_pool([300 << 20])
+        c = alloc.zeros_hugepage(70 << 20, np.uint8)
+        assert len(c.base) == (70 << 20), len(c.base)
+        assert any(e[1] == (300 << 20) and e[2]() is None
+                   for e in alloc._POOL)
+        del c
+    finally:
+        alloc._POOL.clear()
+        alloc._POOL.extend(old_pool)
+
+
 def test_mem_counters_deltas_attribute_fresh_faults():
     """mem_counters minflt deltas must see a fresh multi-MB first-touch
     (the per-stage attribution mechanism for host prep; VERDICT r4 #2)."""
