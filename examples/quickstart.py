@@ -7,6 +7,13 @@ the linear head, evaluates, shards the same training across all visible
 devices, and serves predictions through the inference engine.
 """
 
+import os
+import sys
+
+# runnable from anywhere: sys.path, not PYTHONPATH (a PYTHONPATH entry
+# breaks the axon TPU plugin discovery on this environment)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import scipy.sparse as sp
 

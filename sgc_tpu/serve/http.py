@@ -2,7 +2,13 @@
 
 POST /predict          {"node_ids": [1, 2, 3]}  -> {"predictions": [...]}
 POST /predict_logits   {"node_ids": [...]}      -> {"logits": [[...], ...]}
+POST /predict_batch    {"batches": [[...], ...]} -> {"predictions": [[...], ...]}
 GET  /healthz                                    -> {"status": "ok", ...}
+
+``/predict_batch`` runs the batches through the engine's pipelined
+dispatch (``predict_logits_stream``: up to 2 device programs in flight,
+bitwise-identical outputs) — one HTTP round-trip amortizes the
+per-dispatch floor across many batches.
 
 stdlib http.server only — deployable anywhere Python runs; requests are
 handled on a thread pool (ThreadingHTTPServer) with inference serialized
@@ -56,10 +62,29 @@ def make_handler(engine: InferenceEngine):
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _do_post_batch(self, req) -> None:
+            batches = req.get("batches")
+            if not isinstance(batches, list) or not all(
+                isinstance(b, list) for b in batches
+            ):
+                self._send(400, {"error": "batches must be a list of lists"})
+                return
+            import numpy as np
+
+            with lock:
+                outs = list(engine.predict_logits_stream(batches, depth=2))
+            self._send(200, {
+                "predictions": [np.argmax(o, axis=1).tolist() if len(o)
+                                else [] for o in outs],
+            })
+
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/predict_batch":
+                    self._do_post_batch(req)
+                    return
                 ids = req.get("node_ids")
                 if not isinstance(ids, list):
                     self._send(400, {"error": "node_ids must be a list"})

@@ -136,6 +136,35 @@ class TestHTTP:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(req, timeout=30)
             assert ei.value.code == 400
+
+            # pipelined batch endpoint: many batches, one HTTP round
+            # trip, results in submission order (incl. an empty batch)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict_batch",
+                data=json.dumps(
+                    {"batches": [[0, 1, 2], [], [4, 5]]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                body = json.loads(r.read())
+            assert body["predictions"] == [
+                list(np.asarray(y[:3])), [], list(np.asarray(y[4:6]))]
+
+            # batch endpoint validation: out-of-range id -> 400
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict_batch",
+                data=json.dumps({"batches": [[0], [9999]]}).encode(),
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict_batch",
+                data=json.dumps({"batches": "nope"}).encode(),
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
         finally:
             server.shutdown()
 
