@@ -180,10 +180,20 @@ class LocalityPlan:
                     row_block, stripe, nf,
                     eff_flops=rates["blockdense_eff_flops"],
                     xla_edges_per_s=rates["xla_edges_per_s"])
+            # super-row cell order for the Pallas kernel: an 8-row-block
+            # out panel resident in VMEM shares stripe loads across the
+            # panel (5081 -> 1030 loads at the headline's dense frac)
+            # — measured 46.5 -> 40.3 ms on the full-scale dense term,
+            # same-session A/B (scripts/exp_super_rows.py; S=16
+            # regresses, S=8 is the sweet spot). Scan form accepts
+            # either order, so only the kernel schedule changes.
+            superp = 8 if formulation == "blockdense_pallas" else None
             split_main = split_block_dense(
-                graph_p, nf, row_block, stripe, min_edges=min_edges)
+                graph_p, nf, row_block, stripe, min_edges=min_edges,
+                super_rows=superp)
             split_final = split_block_dense(
-                graph_final, nf, row_block, stripe, min_edges=min_edges)
+                graph_final, nf, row_block, stripe, min_edges=min_edges,
+                super_rows=superp)
         else:
             split_main = split_dense_cells(
                 graph_p, nf, row_block, stripe, min_fill=min_fill)

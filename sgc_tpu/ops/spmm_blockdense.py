@@ -93,6 +93,14 @@ class BlockDenseSplit:
     dense_edges: int
     sparse_edges: int
     min_edges: float
+    # cell ORDER contract: None -> (rb, st) ascending (the classic
+    # kernel's non-decreasing-rb revisit contract); S -> (rb//S, st, rb)
+    # ascending, for the super-row kernel (out panel of S row blocks
+    # resident in VMEM, stripes shared across the panel's row blocks
+    # load once per (panel, stripe) — attacks the stripe re-read factor
+    # the roofline shows). The scan form accepts either order
+    # (per-chunk segment_sum is order-insensitive).
+    super_rows: int | None = None
 
     @property
     def cell_bytes(self) -> int:
@@ -114,6 +122,7 @@ def split_block_dense(
     stripe: int = DEFAULT_STRIPE,
     min_edges: float | None = None,
     byte_budget: int = DEFAULT_BYTE_BUDGET,
+    super_rows: int | None = None,
 ) -> BlockDenseSplit:
     """Partition edges by per-cell count; materialize qualifying cells.
 
@@ -155,6 +164,15 @@ def split_block_dense(
         order = np.argsort(-counts[qualifying], kind="stable")
         qualifying = np.sort(qualifying[order[:max_cells]])
 
+    if super_rows is not None and len(qualifying):
+        # super-row cell order (see BlockDenseSplit.super_rows): the
+        # compact mapping below writes each cell straight into its slot
+        # in THIS order, so the reorder costs a lexsort of the cell-id
+        # list — no extra pass over the multi-GB buffer
+        rbq = qualifying // n_st
+        stq = qualifying % n_st
+        qualifying = qualifying[
+            np.lexsort((rbq, stq, rbq // super_rows))]
     compact = np.full(len(counts), -1, np.int64)
     compact[qualifying] = np.arange(len(qualifying))
     n_cells = len(qualifying)
@@ -243,6 +261,7 @@ def split_block_dense(
         n_rows=graph.n_rows, n_cols=graph.n_cols,
         row_block=row_block, stripe=stripe, n_cells=n_cells,
         dense_edges=n_dense, sparse_edges=n_sparse, min_edges=min_edges,
+        super_rows=super_rows,
     )
 
 
@@ -281,6 +300,34 @@ def _blockdense_kernel(
     )
 
 
+def _blockdense_super_kernel(
+    rbs_ref,           # int32[n_cells] super-row id rb//S (SMEM)
+    rloc_ref,          # int32[n_cells] rb within the super row (SMEM)
+    st_ref,            # int32[n_cells] (SMEM)
+    a_ref,             # bf16[1, R, W] (VMEM block: cell k)
+    xs_ref,            # [W, Ft]      (VMEM block: stripe st[k], f-tile f)
+    out_ref,           # f32[S*R, Ft] (VMEM block: super row rbs[k], f-tile)
+    *, mm_dtype, row_block,
+):
+    """Super-row variant: the out panel spans S row blocks, so cells
+    ordered (rb//S, st, rb) revisit it consecutively while CONSECUTIVE
+    EQUAL st entries reuse the stripe block without a re-fetch — one
+    stripe load per (panel, stripe) instead of per (row block, stripe).
+    Attacks the stripe re-read factor (the dense term's dominant bytes
+    at clustered dense fractions; RESULTS.md roofline)."""
+    k = pl.program_id(1)
+
+    @pl.when((k == 0) | (rbs_ref[k] != rbs_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    r0 = rloc_ref[k] * row_block
+    out_ref[pl.dslice(r0, row_block), :] += jnp.dot(
+        a_ref[0].astype(mm_dtype), xs_ref[...].astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def default_feature_tile(n_features: int) -> int:
     """ONE f-tile up to 1024 lanes (128-rounded): n_ft multiplies cell
     re-reads — every f-tile re-streams every cell — and the single-tile
@@ -291,17 +338,22 @@ def default_feature_tile(n_features: int) -> int:
 
 def apply_cells_pallas(
     cells: jnp.ndarray,      # bf16[C, R, W]
-    rb: jnp.ndarray,         # int32[C], non-decreasing
+    rb: jnp.ndarray,         # int32[C], order per ``super_rows``
     st: jnp.ndarray,         # int32[C]
     xp: jnp.ndarray,         # [n_st * W, F_pad], F_pad % Ft == 0
     n_rb: int,
     feature_tile: int,
     interpret: bool,
     mm_dtype=jnp.bfloat16,
+    super_rows: int | None = None,
 ) -> jnp.ndarray:
     """The streamed dense-cell term as one pallas_call: cells and
     x-stripes arrive as scalar-prefetch-indexed VMEM blocks, the output
-    block revisits/accumulates per row block. Returns f32[n_rb*R, F_pad].
+    block revisits/accumulates per row block (``super_rows=None``,
+    cells in (rb, st) order) or per S-row-block panel (``super_rows=S``,
+    cells in (rb//S, st, rb) order — one stripe load per (panel,
+    stripe); see ``_blockdense_super_kernel``). Returns
+    f32[ceil(n_rb/S)*S*R, F_pad] (callers slice to n_rows).
 
     Shared by the single-chip op (:func:`spmm_blockdense_pallas`) and
     the per-chip sharded hop (parallel/blockdense.py form="pallas").
@@ -314,6 +366,48 @@ def apply_cells_pallas(
     if mm_dtype == jnp.bfloat16:
         xp = xp.astype(jnp.bfloat16)   # halves stripe traffic; MXU
         # rounds operands to bf16 regardless (DESIGN §2d)
+
+    if super_rows is not None:
+        S = int(super_rows)
+        n_rb_pad = -(-n_rb // S) * S
+        rbs = rb // S
+        rloc = rb - rbs * S
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_ft, C),
+            in_specs=[
+                pl.BlockSpec((1, R, W),
+                             lambda f, k, rbs, rl, st: (k, 0, 0)),
+                pl.BlockSpec((W, Ft),
+                             lambda f, k, rbs, rl, st: (st[k], f)),
+            ],
+            out_specs=pl.BlockSpec(
+                (S * R, Ft), lambda f, k, rbs, rl, st: (rbs[k], f),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            partial(_blockdense_super_kernel, mm_dtype=mm_dtype,
+                    row_block=R),
+            out_shape=jax.ShapeDtypeStruct((n_rb_pad * R, xp.shape[1]),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            # the S*R x Ft out panel exceeds the backend's default 16 MB
+            # scoped-vmem budget at S >= 8 (measured OOM at 22.25M);
+            # v5e VMEM is 128 MB, so raise the cap for this kernel
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * R * W * Ft * C * n_ft,
+                bytes_accessed=(
+                    (C * R * W * 2) * n_ft
+                    + C * W * Ft * xp.dtype.itemsize  # ~1 stripe/visit group
+                    + n_rb_pad * R * xp.shape[1] * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(rbs, rloc, st, cells, xp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -386,7 +480,8 @@ def spmm_blockdense_pallas(
         f_pad = (-x.shape[1]) % Ft
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
         out = apply_cells_pallas(cells, rb, st, xp, n_rb, Ft,
-                                 interpret, mm_dtype=mm_dtype)
+                                 interpret, mm_dtype=mm_dtype,
+                                 super_rows=split.super_rows)
         # row blocks no cell visits leave their slots undefined
         visited = np.zeros(n_rb, bool)
         visited[np.unique(np.asarray(split.rb_ids))] = True

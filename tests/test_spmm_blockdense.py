@@ -222,3 +222,58 @@ def test_sgc_precompute_blockdense_impl():
                               out_rows=rows)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_super_rows_order_and_parity():
+    """super_rows cell order (rb//S, st, rb): the Pallas super kernel is
+    BITWISE-equal to the classic kernel in interpret mode, the scan form
+    accepts the reordered split, and partial admission (remainder +
+    unvisited row blocks) stays exact (scripts/exp_super_rows.py is the
+    hardware A/B: 46.5 -> 40.3 ms on the full-scale dense term)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm import spmm_segment
+    from sgc_tpu.ops.spmm_blockdense import (
+        spmm_block_dense,
+        spmm_blockdense_pallas,
+        split_block_dense,
+    )
+
+    rng = np.random.default_rng(3)
+    n, e = 1030, 20000
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.standard_normal(e).astype(np.float32), n, n, device=False)
+    x = jnp.asarray(rng.standard_normal((n, 37)).astype(np.float32))
+    ref = np.asarray(spmm_segment(g, x))
+
+    sp0 = split_block_dense(g, 37, row_block=128, stripe=128, min_edges=0)
+    for S in (4, 8):
+        spS = split_block_dense(g, 37, row_block=128, stripe=128,
+                                min_edges=0, super_rows=S)
+        assert spS.n_cells == sp0.n_cells and spS.super_rows == S
+        # order contract: (rb//S, st, rb) ascending over real cells
+        rb = spS.rb_ids[: spS.n_cells].astype(np.int64)
+        st = spS.st_ids[: spS.n_cells].astype(np.int64)
+        key = ((rb // S) << 40) | (st << 20) | rb
+        assert (np.diff(key) > 0).all()
+
+        out0 = np.asarray(spmm_blockdense_pallas(
+            sp0, x, interpret=True, precision="f32"))
+        outS = np.asarray(spmm_blockdense_pallas(
+            spS, x, interpret=True, precision="f32"))
+        np.testing.assert_array_equal(outS, out0)
+        scan = np.asarray(spmm_block_dense(spS, x, precision="f32"))
+        np.testing.assert_allclose(scan, out0, rtol=1e-5, atol=1e-5)
+
+    # partial admission: remainder + unvisited row blocks stay exact
+    spP = split_block_dense(g, 37, row_block=128, stripe=128,
+                            min_edges=25, super_rows=4)
+    assert spP.sparse_edges > 0
+    outP = np.asarray(spmm_blockdense_pallas(
+        spP, x, interpret=True, precision="f32"))
+    scale = np.abs(ref).max()
+    assert np.abs(outP - ref).max() / scale < 1e-2  # bf16 cell storage
