@@ -69,14 +69,24 @@ def main():
     rows = {}
     import dataclasses as dc
 
-    for S in (None, 4, 8, 16):
-        if S is None:
+    variants = [("None", dict())]
+    for S in (int(s) for s in os.environ.get(
+            "SGC_SUPER_S", "4,8,16").split(",") if s):
+        variants.append((f"S{S}", dict(super_rows=S)))
+    for S, G in ((8, 2), (8, 4)):
+        # grouped: G matmuls per grid step against one stripe block;
+        # (panel, stripe) runs padded to G with zero cells — report the
+        # slot growth (wasted matmuls + extra cell bytes) with the time
+        variants.append((f"S{S}G{G}", dict(super_rows=S, group_cells=G)))
+    for name, kw in variants:
+        if not kw:
             split = dc.replace(base, rest=None, sparse_edges=0)
         else:
             full = split_block_dense(
                 plan.graph, int(x.shape[1]), min_edges=base.min_edges,
-                super_rows=S)
+                **kw)
             split = dc.replace(full, rest=None, sparse_edges=0)
+        S = kw.get("super_rows")
         loads = stripe_loads(
             np.asarray(split.rb_ids)[: split.n_cells],
             np.asarray(split.st_ids)[: split.n_cells], S)
@@ -87,8 +97,8 @@ def main():
         dense_args, _ = blockdense_device_args(split)
         fn = jax.jit(lambda xx, a, s=split: spmm_blockdense_pallas(
             s, xx, args=(a, None), interpret=False))
-        log(f"S={S}: stripe loads {loads} "
-            f"(vs {split.n_cells} cells); warming (cell transfer)...")
+        log(f"{name}: stripe loads {loads} (vs {split.n_cells} cells, "
+            f"{split.cells.shape[0]} slots); warming (cell transfer)...")
         t0 = time.perf_counter()
         sync(fn(x, dense_args))
         log(f"  warm {time.perf_counter()-t0:.0f}s")
@@ -97,9 +107,11 @@ def main():
             t0 = time.perf_counter()
             sync(fn(x, dense_args))
             best = min(best, time.perf_counter() - t0)
-        rows[str(S)] = {"dense_ms": round(best * 1e3, 1),
-                        "stripe_loads": loads,
-                        "n_cells": split.n_cells}
+        rows[name] = {"dense_ms": round(best * 1e3, 1),
+                      "stripe_loads": loads,
+                      "n_cells": split.n_cells,
+                      "n_slots": int(split.cells.shape[0]),
+                      "cell_gb": round(split.cells.nbytes / 1e9, 2)}
         log(f"  dense term {best*1e3:.1f} ms")
         del fn, split, dense_args  # free 2.7 GB device cells for next
 

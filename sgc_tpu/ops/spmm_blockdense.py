@@ -101,6 +101,14 @@ class BlockDenseSplit:
     # the roofline shows). The scan form accepts either order
     # (per-chunk segment_sum is order-insensitive).
     super_rows: int | None = None
+    # with group_cells=G (requires super_rows): each (panel, stripe)
+    # run is padded to a multiple of G with zero cells, so the grouped
+    # kernel runs G matmuls per grid step against ONE stripe block —
+    # attacks the per-grid-step overhead the super-row A/B measured as
+    # the dense term's true bound (~8.7 us/step vs 1.7 us of MXU work).
+    # Zero pad cells contribute nothing on every path; pad slots repeat
+    # their run's last (rb, st).
+    group_cells: int | None = None
 
     @property
     def cell_bytes(self) -> int:
@@ -123,6 +131,7 @@ def split_block_dense(
     min_edges: float | None = None,
     byte_budget: int = DEFAULT_BYTE_BUDGET,
     super_rows: int | None = None,
+    group_cells: int | None = None,
 ) -> BlockDenseSplit:
     """Partition edges by per-cell count; materialize qualifying cells.
 
@@ -164,6 +173,14 @@ def split_block_dense(
         order = np.argsort(-counts[qualifying], kind="stable")
         qualifying = np.sort(qualifying[order[:max_cells]])
 
+    if group_cells is not None:
+        if super_rows is None:
+            raise ValueError("group_cells requires super_rows")
+        if CELL_CHUNK % group_cells:
+            raise ValueError(
+                f"group_cells {group_cells} must divide CELL_CHUNK "
+                f"{CELL_CHUNK} (tail padding must keep group alignment)")
+    slot_rb = slot_st = None
     if super_rows is not None and len(qualifying):
         # super-row cell order (see BlockDenseSplit.super_rows): the
         # compact mapping below writes each cell straight into its slot
@@ -174,8 +191,36 @@ def split_block_dense(
         qualifying = qualifying[
             np.lexsort((rbq, stq, rbq // super_rows))]
     compact = np.full(len(counts), -1, np.int64)
-    compact[qualifying] = np.arange(len(qualifying))
     n_cells = len(qualifying)
+    slots = np.arange(n_cells)
+    if group_cells is not None and n_cells:
+        # grouped layout: pad each (panel, stripe) run to a multiple of
+        # G with zero-cell holes; cells scatter straight into their
+        # padded slots, pad slots repeat the run's last (rb, st)
+        G = group_cells
+        rbq = qualifying // n_st
+        stq = qualifying % n_st
+        key = (rbq // super_rows) * n_st + stq
+        run_start = np.concatenate(([True], key[1:] != key[:-1]))
+        run_id = np.cumsum(run_start) - 1
+        counts_r = np.bincount(run_id)
+        padded_r = -(-counts_r // G) * G
+        starts = np.concatenate(([0], np.cumsum(padded_r)[:-1]))
+        cum_real = np.concatenate(([0], np.cumsum(counts_r)[:-1]))
+        slots = starts[run_id] + (np.arange(n_cells) - cum_real[run_id])
+        n_slot_total = int(padded_r.sum())
+        slot_rb = np.zeros(n_slot_total, np.int32)
+        slot_st = np.zeros(n_slot_total, np.int32)
+        slot_rb[slots] = rbq
+        slot_st[slots] = stq
+        hole = np.ones(n_slot_total, bool)
+        hole[slots] = False
+        if hole.any():
+            slot_run = np.repeat(np.arange(len(padded_r)), padded_r)
+            last_idx = np.cumsum(counts_r) - 1
+            slot_rb[hole] = rbq[last_idx][slot_run[hole]]
+            slot_st[hole] = stq[last_idx][slot_run[hole]]
+    compact[qualifying] = slots
 
     cells = np.zeros((0, row_block, stripe), np.dtype("bfloat16"))
     rb_ids = np.zeros(0, np.int32)
@@ -187,15 +232,16 @@ def split_block_dense(
         # dtype is an element-wise cast loop, not memcpy (measured 27 s
         # for a 2.5 GB append of 67 zero cells; exp_split_stages.py).
         # Pre-sizing the buffer makes the pad cells free (already zero).
-        chunk = _scan_chunk(n_cells)
-        pad = -n_cells % chunk
+        n_slots = len(slot_rb) if slot_rb is not None else n_cells
+        chunk = _scan_chunk(n_slots)
+        pad = -n_slots % chunk
         # hugepage-backed: plain np.zeros first-touch faults cost ~27us/
         # page once the process holds a few GB (utils/alloc.py) — at
         # 2.7 GB that was 15-30 s of the round-2 "host prep" variance
         from sgc_tpu.utils.alloc import zeros_hugepage
 
         cells = zeros_hugepage(
-            (n_cells + pad) * row_block * stripe, np.dtype("bfloat16"))
+            (n_slots + pad) * row_block * stripe, np.dtype("bfloat16"))
         # fused native scatter (graphprep.cpp cell_scatter_bf16):
         # flat-index + bf16 round + adjacent-duplicate f32 run-sums in
         # one multithreaded pass, bitwise-equal to the numpy twin below
@@ -234,13 +280,17 @@ def split_block_dense(
                 sums = np.add.reduceat(vd, starts)[dup].astype(np.float32)
                 cells[flat_idx[starts[dup]]] = sums.astype(
                     np.dtype("bfloat16"))
-        cells = cells.reshape(n_cells + pad, row_block, stripe)
-        rb_ids = (qualifying // n_st).astype(np.int32)
-        st_ids = (qualifying % n_st).astype(np.int32)
-        # Padding repeats the LAST cell's (rb, st) with a zero matrix:
-        # contributes nothing on any path AND keeps rb_ids
-        # non-decreasing — the Pallas kernel's output-revisiting
-        # contract (a pad rb of 0 would revisit block 0 at the end).
+        cells = cells.reshape(n_slots + pad, row_block, stripe)
+        if slot_rb is not None:
+            rb_ids, st_ids = slot_rb, slot_st
+        else:
+            rb_ids = (qualifying // n_st).astype(np.int32)
+            st_ids = (qualifying % n_st).astype(np.int32)
+        # Tail padding repeats the LAST slot's (rb, st) with a zero
+        # matrix: contributes nothing on any path, keeps rb_ids
+        # non-decreasing (classic kernel's output-revisiting contract),
+        # and — since group_cells divides CELL_CHUNK — keeps the
+        # grouped layout's G-alignment.
         if pad:
             rb_ids = np.concatenate(
                 [rb_ids, np.full(pad, rb_ids[-1], np.int32)])
@@ -261,7 +311,7 @@ def split_block_dense(
         n_rows=graph.n_rows, n_cols=graph.n_cols,
         row_block=row_block, stripe=stripe, n_cells=n_cells,
         dense_edges=n_dense, sparse_edges=n_sparse, min_edges=min_edges,
-        super_rows=super_rows,
+        super_rows=super_rows, group_cells=group_cells,
     )
 
 
@@ -328,6 +378,36 @@ def _blockdense_super_kernel(
     )
 
 
+def _blockdense_group_kernel(
+    rbs_ref,           # int32[n_groups] super-row id per GROUP (SMEM)
+    rloc_ref,          # int32[n_slots] rb within super row, per slot
+    stg_ref,           # int32[n_groups] stripe id per group (SMEM)
+    a_ref,             # bf16[G, R, W] (VMEM block: group k's cells)
+    xs_ref,            # [W, Ft]      (VMEM block: stripe stg[k])
+    out_ref,           # f32[S*R, Ft] (VMEM block: super row rbs[k])
+    *, mm_dtype, row_block, group,
+):
+    """Grouped super-row variant: G cells per grid step, all in one
+    (panel, stripe) run — one stripe block feeds G matmuls, cutting the
+    per-grid-step overhead the super-row A/B measured as the dense
+    term's bound (~8.7 us/step vs 1.7 us of MXU work per cell). Pad
+    cells are zero matrices (their rloc repeats a real row slice) and
+    contribute nothing."""
+    k = pl.program_id(1)
+
+    @pl.when((k == 0) | (rbs_ref[k] != rbs_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xs = xs_ref[...].astype(mm_dtype)
+    for g in range(group):        # static unroll
+        r0 = rloc_ref[k * group + g] * row_block
+        out_ref[pl.dslice(r0, row_block), :] += jnp.dot(
+            a_ref[g].astype(mm_dtype), xs,
+            preferred_element_type=jnp.float32,
+        )
+
+
 def default_feature_tile(n_features: int) -> int:
     """ONE f-tile up to 1024 lanes (128-rounded): n_ft multiplies cell
     re-reads — every f-tile re-streams every cell — and the single-tile
@@ -346,6 +426,7 @@ def apply_cells_pallas(
     interpret: bool,
     mm_dtype=jnp.bfloat16,
     super_rows: int | None = None,
+    group_cells: int | None = None,
 ) -> jnp.ndarray:
     """The streamed dense-cell term as one pallas_call: cells and
     x-stripes arrive as scalar-prefetch-indexed VMEM blocks, the output
@@ -372,6 +453,49 @@ def apply_cells_pallas(
         n_rb_pad = -(-n_rb // S) * S
         rbs = rb // S
         rloc = rb - rbs * S
+        if group_cells is not None:
+            G = int(group_cells)
+            if C % G:
+                raise ValueError(f"cell count {C} not a multiple of "
+                                 f"group_cells {G}")
+            n_groups = C // G
+            # per-GROUP panel/stripe (a group lies inside one
+            # (panel, stripe) run by construction)
+            rbs_g = rbs[::G]
+            st_g = st[::G]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n_ft, n_groups),
+                in_specs=[
+                    pl.BlockSpec((G, R, W),
+                                 lambda f, k, rbs, rl, st: (k, 0, 0)),
+                    pl.BlockSpec((W, Ft),
+                                 lambda f, k, rbs, rl, st: (st[k], f)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (S * R, Ft), lambda f, k, rbs, rl, st: (rbs[k], f),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            return pl.pallas_call(
+                partial(_blockdense_group_kernel, mm_dtype=mm_dtype,
+                        row_block=R, group=G),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_rb_pad * R, xp.shape[1]), jnp.float32),
+                grid_spec=grid_spec,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * R * W * Ft * C * n_ft,
+                    bytes_accessed=(
+                        (C * R * W * 2) * n_ft
+                        + n_groups * W * Ft * xp.dtype.itemsize
+                        + n_rb_pad * R * xp.shape[1] * 4
+                    ),
+                    transcendentals=0,
+                ),
+                interpret=interpret,
+            )(rbs_g, rloc, st_g, cells, xp)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_ft, C),
@@ -481,7 +605,8 @@ def spmm_blockdense_pallas(
         xp = jnp.pad(x, ((0, n_st * W - x.shape[0]), (0, f_pad)))
         out = apply_cells_pallas(cells, rb, st, xp, n_rb, Ft,
                                  interpret, mm_dtype=mm_dtype,
-                                 super_rows=split.super_rows)
+                                 super_rows=split.super_rows,
+                                 group_cells=split.group_cells)
         # row blocks no cell visits leave their slots undefined
         visited = np.zeros(n_rb, bool)
         visited[np.unique(np.asarray(split.rb_ids))] = True

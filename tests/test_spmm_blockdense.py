@@ -277,3 +277,50 @@ def test_super_rows_order_and_parity():
         spP, x, interpret=True, precision="f32"))
     scale = np.abs(ref).max()
     assert np.abs(outP - ref).max() / scale < 1e-2  # bf16 cell storage
+
+
+def test_group_cells_layout_and_parity():
+    """group_cells=G: (panel, stripe) runs padded to G with zero cells;
+    the grouped kernel (G matmuls per grid step, one stripe block) is
+    bitwise-equal to the classic kernel in interpret mode. Hardware A/B
+    measured the grouping NEGATIVE at full scale (padding's extra cell
+    reads + zero matmuls outweigh the step savings: S8 42.1 ms vs
+    S8G2 43.0 / S8G4 45.0 — scripts/exp_super_rows.py), so it stays
+    opt-in; this test keeps the machinery correct."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    import pytest
+
+    from sgc_tpu.graph.sparse import SparseGraph
+    from sgc_tpu.ops.spmm_blockdense import (
+        spmm_blockdense_pallas,
+        split_block_dense,
+    )
+
+    rng = np.random.default_rng(11)
+    n, e = 900, 15000
+    g = SparseGraph.from_coo(
+        rng.integers(0, n, e), rng.integers(0, n, e),
+        rng.standard_normal(e).astype(np.float32), n, n, device=False)
+    x = jnp.asarray(rng.standard_normal((n, 25)).astype(np.float32))
+    sp0 = split_block_dense(g, 25, row_block=128, stripe=128, min_edges=0)
+    spG = split_block_dense(g, 25, row_block=128, stripe=128, min_edges=0,
+                            super_rows=4, group_cells=4)
+    # layout: slot count is a G-multiple, real cells preserved, pad
+    # slots repeat their run's (rb, st)
+    assert spG.cells.shape[0] % 4 == 0
+    assert spG.n_cells == sp0.n_cells
+    assert spG.cells.shape[0] >= spG.n_cells
+    out0 = np.asarray(spmm_blockdense_pallas(
+        sp0, x, interpret=True, precision="f32"))
+    outG = np.asarray(spmm_blockdense_pallas(
+        spG, x, interpret=True, precision="f32"))
+    np.testing.assert_array_equal(outG, out0)
+
+    with pytest.raises(ValueError, match="super_rows"):
+        split_block_dense(g, 25, row_block=128, stripe=128,
+                          group_cells=4)
+    with pytest.raises(ValueError, match="CELL_CHUNK"):
+        split_block_dense(g, 25, row_block=128, stripe=128,
+                          super_rows=4, group_cells=3)
