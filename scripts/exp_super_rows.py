@@ -30,14 +30,14 @@ def log(m):
 
 
 def stripe_loads(rb, st, S):
-    """Stripe fetches under the (rb//S, st) grouping = distinct
-    consecutive (panel, stripe) runs in the kernel's cell order."""
+    """Stripe fetches = consecutive (panel, stripe) runs in the
+    kernel's ACTUAL cell order (pallas skips the stripe copy only when
+    the block index repeats between consecutive grid steps)."""
     if S is None:
-        key = rb.astype(np.int64) * (st.max() + 1) + st
+        key = rb.astype(np.int64) * (int(st.max()) + 1) + st
     else:
-        key = (rb // S).astype(np.int64) * (st.max() + 1) + st
-    # cells arrive sorted by this key already; runs = key changes
-    return int(1 + (np.diff(np.sort(key)) != 0).sum())
+        key = (rb // S).astype(np.int64) * (int(st.max()) + 1) + st
+    return int(1 + (np.diff(key) != 0).sum())
 
 
 def main():

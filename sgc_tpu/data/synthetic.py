@@ -127,6 +127,11 @@ def synthetic_reddit_clustered(
     # regression from nothing but relabeling) and breaking cross-round
     # comparability of every timing.
     rng_y = np.random.default_rng(seed + 1_000_003)
+    # keep the main stream's draw COUNT identical to the pre-planting
+    # generator (labels used to be one rng.integers draw here): the
+    # shuffle perm below must reproduce rounds 1-4 exactly, or every
+    # cross-round timing comparison silently changes graph layout
+    _ = rng.integers(0, REDDIT_CLASSES, n)
     comm_of = np.minimum(np.arange(n) // comm_size, communities - 1)
     labels = (comm_of % REDDIT_CLASSES).astype(np.int32)
     flip = rng_y.random(n) < 0.1
