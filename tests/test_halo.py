@@ -197,6 +197,16 @@ def test_build_halo_scales_p256_10m_edges():
     # yardstick, so both bounds carry headroom for that state. The
     # O(P^2)-unique regression this test exists to catch measured >100x
     # the yardstick and minutes of wall — still far outside both bounds.
+    # re-probe AFTER the timed attempts: the degradation can begin
+    # mid-test (the entry probe read healthy while attempt 3 crawled —
+    # observed in a round-5 full-suite run), and a bound measured in a
+    # window that ENDED degraded is as meaningless as one that started
+    # degraded.
+    probe2 = np.empty(20_000_000, np.float64)
+    t0 = time.perf_counter()
+    probe2[::512] = 1.0
+    if time.perf_counter() - t0 > 2.0:
+        pytest.skip("VM entered degraded paging state during the test")
     assert (min(ratios) < 12 or min(dts) < 5.0) and min(dts) < 150.0, (
         f"build_halo took {min(dts):.1f}s at P=256/10M edges "
         f"(ratios vs argsort yardstick {ratios}; all runs {dts})"
