@@ -168,12 +168,33 @@ def ensure_fault_rate(min_mfaults: float = 0.8,
         return out
     if now - _COMPACT_TS < min_interval_s:
         return out
-    try:
-        with open("/proc/sys/vm/compact_memory", "w") as f:
-            f.write("1")
-    except OSError:
-        return out
+
+    # the compact_memory write is SYNCHRONOUS and at extreme
+    # degradation (0.003 M/s observed) can block for MINUTES — do it in
+    # a daemon thread with a bounded wait so a prep entry never stalls
+    # on the remedy for the very condition it is reporting; if the
+    # thread is still compacting after the wait, proceed with the
+    # pre-compaction rate (the JSON stays honest: compacted records
+    # whether the write COMPLETED inside the window)
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def _compact():
+        try:
+            with open("/proc/sys/vm/compact_memory", "w") as f:
+                f.write("1")
+        except OSError as e:
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=_compact, daemon=True).start()
+    finished = done.wait(timeout=20.0)
     _COMPACT_TS = time.monotonic()
+    if not finished or err:
+        return out
     out["compacted"] = True
     rate2 = fault_rate_probe()
     out["rate_after"] = round(rate2, 3)
